@@ -1,0 +1,43 @@
+"""TPU-native differential dynamic programming / iLQG framework.
+
+A from-scratch JAX/XLA/Pallas re-design with the full capability set of the
+reference Julia package ``baggepinnen/DifferentialDynamicProgramming.jl``
+(mounted at /root/reference; public API at
+``src/DifferentialDynamicProgramming.jl:6``):
+
+- :func:`ilqg` — iLQG/DDP solver (reference ``iLQG``, ``src/iLQG.jl:143``)
+- :func:`ilqg_kl` — KL-constrained trust-region variant (reference
+  ``iLQGkl``, ``src/iLQGkl.jl:25``)
+- :func:`boxqp` — projected-Newton box QP (reference ``boxQP``,
+  ``src/boxQP.jl:29``)
+- :class:`GaussianPolicy` — time-varying affine-Gaussian controller
+- model families: linear LTI, pendulum-on-cart
+- batched + multi-host execution: :mod:`.parallel`
+
+Everything is jittable, vmappable over scenario batches, and shardable over
+TPU device meshes.
+"""
+
+from .policy import GaussianPolicy, Trace, Derivs, sym
+from .problem import Problem, make_autodiff_derivs, broadcast_derivs
+from .ops.boxqp import boxqp, boxqp_1d, demo_qp, BoxQPResult
+from .ops.backward import backward_pass, BackwardOut, KLTerms
+from .ops.forward import forward_pass, line_search, forward_covariance, Rollout
+from .ops.kl import (grad_kl, kl_div_gaussian, kl_div_wiki, entropy, calc_eta,
+                     AdamState, adam_init, adam_update)
+from .solvers.ilqg import ilqg, ILQGConfig, ILQGResult, default_alphas
+from .solvers.ilqgkl import ilqg_kl, ILQGKLConfig
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "GaussianPolicy", "Trace", "Derivs", "sym",
+    "Problem", "make_autodiff_derivs", "broadcast_derivs",
+    "boxqp", "boxqp_1d", "demo_qp", "BoxQPResult",
+    "backward_pass", "BackwardOut", "KLTerms",
+    "forward_pass", "line_search", "forward_covariance", "Rollout",
+    "grad_kl", "kl_div_gaussian", "kl_div_wiki", "entropy", "calc_eta",
+    "AdamState", "adam_init", "adam_update",
+    "ilqg", "ILQGConfig", "ILQGResult", "default_alphas",
+    "ilqg_kl", "ILQGKLConfig",
+]

@@ -1,0 +1,237 @@
+"""Box-constrained QP via projected Newton — TPU-native re-design.
+
+Minimize ``0.5*x'Hx + x'g`` s.t. ``lower <= x <= upper``.
+
+Reference: ``src/boxQP.jl:29-188`` (clamped-set detection ``:88-95``,
+refactorize-on-clamp-change ``:103-117``, Newton step on free dims
+``:126-129``, Armijo backtracking ``:137-151``, result codes ``:172-179``).
+
+Design differences (TPU-first, not a port):
+
+- **No dynamic shapes / index sets.** The active set is a boolean mask; the
+  free-subspace Cholesky is the factorization of the *masked-identity-padded*
+  matrix ``H_masked = free⊗free * H + diag(clamped)``, which has fixed shape
+  ``(m, m)`` and the same free-block factor.
+- **No exceptions.** Non-PD is detected as NaN in the Cholesky factor
+  (result ``-1``); the reference throws and the caller catches
+  (``src/backward_pass.jl:48-52``).
+- **Branchless early exits.** All reference ``break``s become a ``done`` flag
+  in a ``lax.while_loop`` carry, so the solver jits, vmaps (batched over
+  thousands of per-timestep QPs), and runs inside ``lax.scan``.
+
+Deviation from the reference (documented): the reference's
+``iter == maxIter → result=1`` check has an off-by-one (a loop that exhausts
+``maxIter`` full passes leaves ``iter == maxIter+1`` and returns 0); we return
+1 ("maximum iterations exceeded", a success code) on exhaustion, which is the
+clear intent.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.scipy.linalg import cho_solve
+
+
+class BoxQPResult(NamedTuple):
+    """Outputs of :func:`boxqp` (reference return tuple ``src/boxQP.jl:187``).
+
+    - ``x``: solution ``(m,)``
+    - ``result``: int32 code, reference semantics (``src/boxQP.jl:172-179``):
+      -1 non-PD Hessian, 0 no descent, 1 max iterations, 2 max line-search,
+      4 improvement < tol, 5 gradient < tol, 6 all clamped. ``result >= 1``
+      is success.
+    - ``chol``: lower Cholesky factor of the masked free-subspace Hessian
+      ``(m, m)`` (identity rows/cols on clamped dims)
+    - ``free``: boolean free-dimension mask ``(m,)``
+    - ``iters``: iterations executed
+    - ``value``: final objective value
+    - ``gnorm``: final free-gradient norm
+    - ``nfactor``: number of Cholesky factorizations (reference trace field)
+    """
+
+    x: jax.Array
+    result: jax.Array
+    chol: jax.Array
+    free: jax.Array
+    iters: jax.Array
+    value: jax.Array
+    gnorm: jax.Array
+    nfactor: jax.Array
+
+
+class _QPState(NamedTuple):
+    x: jax.Array
+    value: jax.Array
+    oldvalue: jax.Array
+    clamped: jax.Array
+    chol: jax.Array
+    result: jax.Array
+    done: jax.Array
+    it: jax.Array
+    gnorm: jax.Array
+    nfactor: jax.Array
+
+
+def _masked_cholesky(H, free):
+    """Cholesky factor of ``free⊗free * H + diag(~free)`` — fixed-shape
+    equivalent of ``cholesky(H[free, free])`` (``src/boxQP.jl:111``)."""
+    mask = jnp.outer(free, free)
+    Hm = jnp.where(mask, H, 0.0) + jnp.diag(jnp.where(free, 0.0, 1.0))
+    return jnp.linalg.cholesky(Hm)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "max_ls"))
+def boxqp(H, g, lower, upper, x0,
+          max_iter: int = 100,
+          min_grad: float = 1e-8,
+          min_rel_improve: float = 1e-8,
+          step_dec: float = 0.6,
+          min_step: float = 1e-22,
+          armijo: float = 0.1,
+          max_ls: int = 100) -> BoxQPResult:
+    """Solve one box QP. Batch by ``jax.vmap``; defaults match the reference
+    (``src/boxQP.jl:29-43``)."""
+    H = jnp.asarray(H)
+    dtype = H.dtype
+    g = jnp.asarray(g, dtype)
+    lower = jnp.asarray(lower, dtype)
+    upper = jnp.asarray(upper, dtype)
+    m = g.shape[0]
+
+    def qval(x):
+        return jnp.dot(x, g) + 0.5 * jnp.dot(x, H @ x)
+
+    x = jnp.clip(jnp.asarray(x0, dtype), lower, upper)
+    value0 = qval(x)
+
+    init = _QPState(
+        x=x, value=value0, oldvalue=jnp.zeros((), dtype),
+        clamped=jnp.zeros((m,), bool),
+        chol=jnp.eye(m, dtype=dtype),
+        result=jnp.zeros((), jnp.int32), done=jnp.zeros((), bool),
+        it=jnp.ones((), jnp.int32),
+        gnorm=jnp.zeros((), dtype), nfactor=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(s: _QPState):
+        return (~s.done) & (s.it <= max_iter)
+
+    def body(s: _QPState) -> _QPState:
+        # --- relative-improvement exit (src/boxQP.jl:78-81)
+        stop4 = (s.it > 1) & ((s.oldvalue - s.value)
+                              < min_rel_improve * jnp.abs(s.oldvalue))
+        oldvalue = s.value
+
+        # --- gradient & clamped set (src/boxQP.jl:85-95)
+        grad = g + H @ s.x
+        clamped = ((s.x == lower) & (grad > 0)) | ((s.x == upper) & (grad < 0))
+        free = ~clamped
+        all_clamped = jnp.all(clamped)
+
+        # --- factorize only when the clamp set changed (src/boxQP.jl:103-117)
+        changed = (s.it == 1) | jnp.any(clamped != s.clamped)
+        chol = lax.cond(changed, lambda: _masked_cholesky(H, free),
+                        lambda: s.chol)
+        nfactor = s.nfactor + changed.astype(jnp.int32)
+        notpd = jnp.any(jnp.isnan(chol))
+
+        # --- free-gradient norm exit (src/boxQP.jl:120-124)
+        gnorm = jnp.linalg.norm(grad * free)
+        small_grad = gnorm < min_grad
+
+        # --- Newton direction on free dims (src/boxQP.jl:126-129)
+        grad_clamped = g + H @ (s.x * clamped)
+        newton = cho_solve((chol, True), grad_clamped * free)
+        search = (-newton - s.x) * free
+        sdotg = jnp.sum(search * grad)
+        no_descent = sdotg >= 0   # src/boxQP.jl:133 (result stays 0)
+
+        # --- Armijo backtracking with clamping (src/boxQP.jl:137-151)
+        def ls_cond(ls):
+            step, xc, vc, fail, k = ls
+            insufficient = (vc - oldvalue) / (step * sdotg) < armijo
+            return insufficient & (~fail) & (k < max_ls)
+
+        def ls_body(ls):
+            step, xc, vc, fail, k = ls
+            step = step * step_dec
+            xc = jnp.clip(s.x + step * search, lower, upper)
+            vc = qval(xc)
+            fail = step < min_step
+            return (step, xc, vc, fail, k + 1)
+
+        xc0 = jnp.clip(s.x + search, lower, upper)
+        step, xc, vc, ls_fail, _ = lax.while_loop(
+            ls_cond, ls_body,
+            (jnp.ones((), dtype), xc0, qval(xc0), jnp.zeros((), bool),
+             jnp.zeros((), jnp.int32)))
+
+        # --- resolve exits in reference order
+        exit_now = stop4 | all_clamped | notpd | small_grad | no_descent | ls_fail
+        result = jnp.where(
+            stop4, 4,
+            jnp.where(all_clamped, 6,
+                      jnp.where(notpd, -1,
+                                jnp.where(small_grad, 5,
+                                          jnp.where(no_descent, 0,
+                                                    jnp.where(ls_fail, 2, 0))))))
+        accept = ~(stop4 | all_clamped | notpd | small_grad | no_descent)
+
+        return _QPState(
+            x=jnp.where(accept, xc, s.x),
+            value=jnp.where(accept, vc, s.value),
+            oldvalue=oldvalue,
+            clamped=jnp.where(stop4, s.clamped, clamped),
+            chol=jnp.where(stop4, s.chol, chol),
+            result=result.astype(jnp.int32),
+            done=exit_now,
+            it=s.it + accept.astype(jnp.int32),
+            gnorm=jnp.where(stop4, s.gnorm, gnorm),
+            nfactor=nfactor,
+        )
+
+    s = lax.while_loop(cond, body, init)
+    # exhausted max_iter without another exit → result 1
+    result = jnp.where((~s.done) & (s.result == 0), 1, s.result)
+    return BoxQPResult(x=s.x, result=result.astype(jnp.int32), chol=s.chol,
+                       free=~s.clamped, iters=s.it, value=s.value,
+                       gnorm=s.gnorm, nfactor=s.nfactor)
+
+
+def boxqp_1d(H, g, lower, upper) -> BoxQPResult:
+    """Closed-form scalar box QP (m=1): the per-timestep QPs of the
+    control-limited pendulum-cart benchmark (``src/system_pendcart.jl:197``)
+    have m=1, where projected Newton reduces to one clamped division.
+    This keeps the backward-scan hot path free of inner loops."""
+    h = H[0, 0]
+    dtype = H.dtype
+    xn = -g[0] / h
+    x = jnp.clip(xn, lower[0], upper[0])
+    grad = g[0] + h * x
+    clamped = ((x == lower[0]) & (grad > 0)) | ((x == upper[0]) & (grad < 0))
+    free = ~clamped
+    pd = h > 0
+    chol_val = jnp.sqrt(jnp.where(pd, jnp.where(free, h, 1.0), jnp.nan))
+    value = x * g[0] + 0.5 * x * h * x
+    return BoxQPResult(
+        x=x[None], result=jnp.where(pd, 5, -1).astype(jnp.int32),
+        chol=chol_val[None, None], free=free[None],
+        iters=jnp.ones((), jnp.int32), value=value,
+        gnorm=jnp.abs(grad * free).astype(dtype),
+        nfactor=jnp.ones((), jnp.int32))
+
+
+def demo_qp(n: int = 500, seed: int = 0, dtype=jnp.float64, **kwargs):
+    """Random PD box QP demo (reference ``demoQP``, ``src/boxQP.jl:190-199``)."""
+    kx, kg, kh = jax.random.split(jax.random.PRNGKey(seed), 3)
+    g = jax.random.normal(kg, (n,), dtype)
+    A = jax.random.normal(kh, (n, n), dtype)
+    H = A @ A.T
+    lower = -jnp.ones((n,), dtype)
+    upper = jnp.ones((n,), dtype)
+    x0 = jax.random.normal(kx, (n,), dtype)
+    return boxqp(H, g, lower, upper, x0, **kwargs)

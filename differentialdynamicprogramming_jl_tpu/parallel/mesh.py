@@ -1,0 +1,112 @@
+"""Multi-device execution: scenario-batch data parallelism over a TPU mesh.
+
+The reference is single-process, CPU-only, with strictly sequential loops
+(``src/backward_pass.jl:102``, ``src/forward_pass.jl:16`` — SURVEY.md §2
+"Parallelism: ABSENT"). The TPU-native design scales the *scenario axis*:
+thousands of independent iLQG solves (varied x0 / targets / dynamics params)
+are vmapped per device and sharded across a 1-D device mesh with
+``shard_map``. Each shard's outer ``while_loop`` runs independently — no
+cross-chip synchronization per iteration (solves are embarrassingly
+parallel); only scalar convergence statistics are reduced with ``psum`` over
+ICI when requested.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..problem import Problem
+from ..solvers.ilqg import ILQGConfig, ILQGResult, ilqg
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "b") -> Mesh:
+    """1-D mesh over the scenario-batch axis."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def ilqg_batched(problem: Problem, x0s: jax.Array, u0s: jax.Array,
+                 lims: Optional[jax.Array] = None,
+                 cfg: ILQGConfig = ILQGConfig()) -> ILQGResult:
+    """vmap the full solver over a leading scenario axis of ``x0s``/``u0s``.
+
+    Each scenario keeps its own λ/α/termination state; JAX's while-loop
+    batching runs until every scenario is done (lock-step with per-element
+    masking) — the single-device building block for :func:`ilqg_sharded`.
+    """
+    return jax.vmap(lambda x0, u0: ilqg(problem, x0, u0, lims=lims, cfg=cfg)
+                    )(x0s, u0s)
+
+
+def ilqg_sharded(problem: Problem, x0s: jax.Array, u0s: jax.Array,
+                 lims: Optional[jax.Array] = None,
+                 cfg: ILQGConfig = ILQGConfig(),
+                 mesh: Optional[Mesh] = None,
+                 axis: str = "b",
+                 reduce_stats: bool = False):
+    """Shard a scenario batch over a device mesh and solve.
+
+    ``shard_map`` gives each device an independent program: per-shard
+    while-loops run to their own trip counts (no lock-step across devices,
+    unlike a vmapped-then-pjit solve) and nothing crosses ICI during the
+    solve. With ``reduce_stats=True`` the per-shard mean cost / iteration
+    counts are ``psum``-reduced over the mesh (trace-reduction pattern,
+    SURVEY.md §5) and returned alongside.
+
+    The batch axis must divide the mesh size. Returns an :class:`ILQGResult`
+    with leading batch axis (sharded) and, optionally, the reduced stats.
+    """
+    if mesh is None:
+        mesh = make_mesh(axis=axis)
+    n_dev = mesh.devices.size
+    B = x0s.shape[0]
+    assert B % n_dev == 0, f"batch {B} must divide over {n_dev} devices"
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(jax.tree_util.tree_map(lambda _: P(axis),
+                                          _result_structure()),
+                   P()) if reduce_stats else jax.tree_util.tree_map(
+                       lambda _: P(axis), _result_structure()),
+        check_vma=False)
+    def solve_shard(x0_shard, u0_shard):
+        res = ilqg_batched(problem, x0_shard, u0_shard, lims=lims, cfg=cfg)
+        if not reduce_stats:
+            return res
+        # scalar convergence stats over the whole fleet: psum over ICI
+        local_cost = jnp.sum(jnp.sum(res.cost, axis=-1))
+        local_iters = jnp.sum(res.n_iters)
+        local_solved = jnp.sum((res.reason == 1) | (res.reason == 2))
+        stats = jnp.stack([local_cost,
+                           local_iters.astype(x0_shard.dtype),
+                           local_solved.astype(x0_shard.dtype)])
+        stats = jax.lax.psum(stats, axis)
+        return res, stats
+
+    return solve_shard(x0s, u0s)
+
+
+def _result_structure():
+    """Abstract pytree skeleton of ILQGResult for out_specs construction."""
+    return ILQGResult(x=0, u=0, policy=type(
+        "GP", (), {})() if False else _gp_skel(), Vx=0, Vxx=0, cost=0,
+        trace=_trace_skel(), n_iters=0, n_accepted=0, reason=0, lam=0,
+        g_norm=0)
+
+
+def _gp_skel():
+    from ..policy import GaussianPolicy
+    return GaussianPolicy(K=0, k=0, sigma=0, sigma_inv=0)
+
+
+def _trace_skel():
+    from ..policy import Trace
+    return Trace(*([0] * len(Trace._fields)))

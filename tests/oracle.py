@@ -1,0 +1,219 @@
+"""Independent NumPy implementation of the iLQG algorithm with the exact
+reference semantics (Tassa/Mansard/Todorov ICRA 2014; reference behavior at
+``/root/reference/src/iLQG.jl``, ``backward_pass.jl``, ``boxQP.jl``,
+``forward_pass.jl``) — used ONLY as a parity oracle for tests. Plain Python
+loops, eager numpy, exceptions for non-PD: deliberately the *opposite* of the
+TPU-native design, so the two implementations share no code or structure and
+agreement is meaningful evidence of correctness.
+
+Conventions match the framework (time-major, 0-based): x (T,n), u (T,m),
+K (T,m,n).
+"""
+import numpy as np
+
+
+def boxqp_np(H, g, lower, upper, x0, max_iter=100, min_grad=1e-8,
+             min_rel_improve=1e-8, step_dec=0.6, min_step=1e-22, armijo=0.1):
+    n = len(g)
+    clamped = np.zeros(n, bool)
+    free = np.ones(n, bool)
+    Hfree = np.zeros((n, n))
+    oldvalue = 0.0
+    result = 0
+    x = np.clip(x0, lower, upper)
+    value = x @ g + 0.5 * x @ H @ x
+    it = 1
+    while it <= max_iter:
+        if result != 0:
+            break
+        if it > 1 and (oldvalue - value) < min_rel_improve * abs(oldvalue):
+            result = 4
+            break
+        oldvalue = value
+        grad = g + H @ x
+        old_clamped = clamped
+        clamped = ((x == lower) & (grad > 0)) | ((x == upper) & (grad < 0))
+        free = ~clamped
+        if clamped.all():
+            result = 6
+            break
+        if it == 1 or (old_clamped != clamped).any():
+            try:
+                Hfree = np.linalg.cholesky(H[np.ix_(free, free)]).T  # upper
+            except np.linalg.LinAlgError:
+                result = -1
+                break
+        gnorm = np.linalg.norm(grad[free])
+        if gnorm < min_grad:
+            result = 5
+            break
+        grad_clamped = g + H @ (x * clamped)
+        search = np.zeros(n)
+        search[free] = -np.linalg.solve(
+            Hfree, np.linalg.solve(Hfree.T, grad_clamped[free])) - x[free]
+        sdotg = search @ grad
+        if sdotg >= 0:
+            break
+        step = 1.0
+        xc = np.clip(x + step * search, lower, upper)
+        vc = xc @ g + 0.5 * xc @ H @ xc
+        while (vc - oldvalue) / (step * sdotg) < armijo:
+            step *= step_dec
+            xc = np.clip(x + step * search, lower, upper)
+            vc = xc @ g + 0.5 * xc @ H @ xc
+            if step < min_step:
+                result = 2
+                break
+        x, value = xc, vc
+        it += 1
+    if result == 0 and it > max_iter:
+        result = 1
+    return x, result, Hfree, free
+
+
+def back_pass_np(derivs, u, lam, reg_type, lims):
+    """Backward recursion, eager numpy, exceptions-as-control-flow."""
+    fx, fu, cx, cu, cxx, cxu, cuu = derivs
+    T, m = u.shape
+    n = cx.shape[1]
+    k = np.zeros((T, m))
+    K = np.zeros((T, m, n))
+    Vx = np.zeros((T, n))
+    Vxx = np.zeros((T, n, n))
+    Quu_all = np.zeros((T, m, m))
+    dV = np.zeros(2)
+    Vx[T - 1] = cx[T - 1]
+    Vxx[T - 1] = cxx[T - 1]
+    Quu_all[T - 1] = cuu[T - 1]
+    for i in range(T - 2, -1, -1):
+        Qu = cu[i] + fu[i].T @ Vx[i + 1]
+        Qx = cx[i] + fx[i].T @ Vx[i + 1]
+        Qux = cxu[i].T + fu[i].T @ Vxx[i + 1] @ fx[i]
+        Quu = cuu[i] + fu[i].T @ Vxx[i + 1] @ fu[i]
+        Qxx = cxx[i] + fx[i].T @ Vxx[i + 1] @ fx[i]
+        Vxx_reg = Vxx[i + 1] + (lam * np.eye(n) if reg_type == 2 else 0)
+        Qux_reg = cxu[i].T + fu[i].T @ Vxx_reg @ fx[i]
+        QuuF = cuu[i] + fu[i].T @ Vxx_reg @ fu[i] \
+            + (lam * np.eye(m) if reg_type == 1 else 0)
+        if lims is None:
+            try:
+                R = np.linalg.cholesky(0.5 * (QuuF + QuuF.T))
+            except np.linalg.LinAlgError:
+                return i + 1, (k, K), Vx, Vxx, dV
+            k_i = -np.linalg.solve(R.T, np.linalg.solve(R, Qu))
+            K_i = -np.linalg.solve(R.T, np.linalg.solve(R, Qux_reg))
+        else:
+            lower = lims[:, 0] - u[i]
+            upper = lims[:, 1] - u[i]
+            k_i, result, Hfree, free = boxqp_np(
+                QuuF, Qu, lower, upper, k[min(i + 1, T - 2)])
+            if result < 1:
+                return i + 1, (k, K), Vx, Vxx, dV
+            K_i = np.zeros((m, n))
+            if free.any():
+                K_i[free] = -np.linalg.solve(
+                    Hfree, np.linalg.solve(Hfree.T, Qux_reg[free]))
+        Quuk = Quu @ k_i
+        dV += [k_i @ Qu, 0.5 * k_i @ Quuk]
+        Vx[i] = Qx + K_i.T @ Quuk + K_i.T @ Qu + Qux.T @ k_i
+        Vxx[i] = Qxx + K_i.T @ Quu @ K_i + K_i.T @ Qux + Qux.T @ K_i
+        Vxx[i] = 0.5 * (Vxx[i] + Vxx[i].T)
+        k[i] = k_i
+        K[i] = K_i
+        Quu_all[i] = Quu
+    return 0, (k, K), Vx, Vxx, dV
+
+
+def forward_np(dyn, traj_cost, x0, u, x_old, alpha, policy, lims):
+    T, m = u.shape
+    n = len(x0)
+    xnew = np.zeros((T, n))
+    unew = u.copy()
+    xi = x0.copy()
+    for i in range(T):
+        xnew[i] = xi
+        if policy is not None:
+            k, K = policy
+            unew[i] = unew[i] + alpha * k[i] + K[i] @ (xnew[i] - x_old[i])
+        if lims is not None:
+            unew[i] = np.clip(unew[i], lims[:, 0], lims[:, 1])
+        xi = dyn(xi, unew[i], i)
+    return xnew, unew, traj_cost(xnew, unew)
+
+
+def ilqg_np(dyn, traj_cost, derivs_fn, x0, u0, lims=None,
+            alphas=10.0 ** np.linspace(0, -3, 11), tol_fun=1e-7,
+            tol_grad=1e-4, max_iter=500, lam=1.0, dlam=1.0, lam_factor=1.6,
+            lam_max=1e10, lam_min=1e-6, reg_type=1, reduce_ratio_min=0.0,
+            log=None):
+    """Direct eager-numpy iLQG with the reference's exact control flow."""
+    u = u0.copy()
+    # initial rollout
+    diverged = True
+    for a in alphas:
+        x, un, cost = forward_np(dyn, traj_cost, x0, a * u, None, 1.0,
+                                 None, lims)
+        if np.all(np.abs(x) < 1e8):
+            u = un
+            diverged = False
+            break
+    assert not diverged, "initial rollout diverged"
+
+    flg_change = True
+    derivs = None
+    it = accepted = 1
+    Vx = Vxx = None
+    while accepted <= max_iter:
+        if flg_change:
+            derivs = derivs_fn(x, u)
+            flg_change = False
+        # backward with retry
+        back_done = False
+        while not back_done:
+            div, (k, K), Vx, Vxx, dV = back_pass_np(derivs, u, lam,
+                                                    reg_type, lims)
+            if div > 0:
+                dlam, lam = max(dlam * lam_factor, lam_factor), \
+                    max(lam * dlam, lam_min)
+                if lam > lam_max:
+                    break
+                continue
+            back_done = True
+        g_norm = np.mean(np.max(np.abs(k) / (np.abs(u) + 1), axis=1))
+        if g_norm < tol_grad and lam < 1e-5:
+            if log is not None:
+                log.append(dict(reason="grad", it=it))
+            break
+        fwd_done = False
+        if back_done:
+            for a in alphas:
+                xnew, unew, costnew = forward_np(dyn, traj_cost, x0, u, x, a,
+                                                 (k, K), lims)
+                dcost = cost.sum() - costnew.sum()
+                expected = -a * (dV[0] + a * dV[1])
+                ratio = dcost / expected if expected > 0 else np.sign(dcost)
+                if ratio > reduce_ratio_min:
+                    fwd_done = True
+                    break
+        if fwd_done:
+            dlam = min(dlam / lam_factor, 1 / lam_factor)
+            lam = max(lam * dlam, lam_min)
+            x, u, cost = xnew, unew, costnew
+            flg_change = True
+            if log is not None:
+                log.append(dict(it=it, cost=cost.sum(), dcost=dcost,
+                                lam=lam, alpha=a, accept=True))
+            if dcost < tol_fun:
+                break
+            accepted += 1
+        else:
+            dlam, lam = max(dlam * lam_factor, lam_factor), \
+                max(lam * dlam, lam_min)
+            if log is not None:
+                log.append(dict(it=it, cost=cost.sum(), lam=lam,
+                                accept=False))
+            if lam > lam_max:
+                break
+        it += 1
+    return dict(x=x, u=u, cost=cost, k=k, K=K, Vx=Vx, Vxx=Vxx,
+                iters=it, accepted=accepted, g_norm=g_norm, lam=lam)

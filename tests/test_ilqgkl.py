@@ -1,0 +1,105 @@
+"""KL-constrained solver tests — the reference's ``demo_linear_kl`` usage
+pattern (``src/demo_linear.jl:63-130``: 5 outer GPS iterations re-centering
+the trust region) plus unit-level checks."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from differentialdynamicprogramming_jl_tpu import (
+    ilqg_kl, ILQGKLConfig, GaussianPolicy, forward_pass)
+from differentialdynamicprogramming_jl_tpu.models.linear import (
+    random_lti, make_lti_problem, SimpleLTVModel)
+
+
+def setup(key, T=200, n=10, m=2, dtype=jnp.float64):
+    spec = random_lti(key, n=n, m=m, T=T, dtype=dtype)
+    prob = make_lti_problem(spec, T)
+    model = SimpleLTVModel.from_lti(spec.A, spec.B, T)
+    return spec, prob, model
+
+
+def test_gps_outer_loop_reduces_cost(key):
+    """demo_linear_kl pattern (src/demo_linear.jl:124-130): 5 outer
+    iterations of iLQGkl with kl_step=100, each re-centered on the previous
+    policy, must drive the cost down."""
+    T, n, m = 200, 10, 2
+    spec, prob, model = setup(key, T=T, n=n, m=m)
+    u = spec.u0
+    ro = forward_pass(prob, spec.x0, u)
+    x, cost = ro.x, ro.cost
+    traj = GaussianPolicy.zeros(T, n, m, jnp.float64)
+    traj = traj._replace(k=u)
+    costs = [float(jnp.sum(cost))]
+    for _ in range(5):
+        res = ilqg_kl(prob, x, traj, model, cost,
+                      cfg=ILQGKLConfig(kl_step=100.0, max_iter=50))
+        x, cost = res.x, res.cost
+        traj = res.policy        # k == u (re-centering)
+        costs.append(float(jnp.sum(cost)))
+    # the first GPS step captures most of the improvement; later re-centered
+    # solves stay near it (acceptance is unconditional — src/iLQGkl.jl:239 —
+    # so small oscillation within the loose KL-100 trust region is expected)
+    assert all(c < 0.5 * costs[0] for c in costs[1:]), costs
+    assert costs[-1] < 1.5 * costs[1], costs
+
+
+def test_kl_constraint_respected(key):
+    """With a tight kl_step the solver stays near the previous policy:
+    measured divergence ≈ bound (the reference warns when badly violated,
+    src/iLQGkl.jl:248)."""
+    T = 100
+    spec, prob, model = setup(key, T=T)
+    ro = forward_pass(prob, spec.x0, spec.u0)
+    traj = GaussianPolicy.zeros(T, 10, 2, jnp.float64)._replace(k=spec.u0)
+    kl_step = 0.5
+    res = ilqg_kl(prob, ro.x, traj, model, ro.cost,
+                  cfg=ILQGKLConfig(kl_step=kl_step, max_iter=50))
+    div = float(res.divergence)
+    assert div < 2.0 * kl_step, div
+    assert not bool(res.kl_violated) or div < 2.0 * kl_step
+
+
+def test_eta_regularizes_step_size(key):
+    """Smaller kl_step → larger final η → smaller control change."""
+    T = 100
+    spec, prob, model = setup(key, T=T)
+    ro = forward_pass(prob, spec.x0, spec.u0)
+    traj = GaussianPolicy.zeros(T, 10, 2, jnp.float64)._replace(k=spec.u0)
+
+    res_tight = ilqg_kl(prob, ro.x, traj, model, ro.cost,
+                        cfg=ILQGKLConfig(kl_step=0.1, max_iter=50))
+    res_loose = ilqg_kl(prob, ro.x, traj, model, ro.cost,
+                        cfg=ILQGKLConfig(kl_step=1000.0, max_iter=50))
+    d_tight = float(jnp.linalg.norm(res_tight.u - spec.u0))
+    d_loose = float(jnp.linalg.norm(res_loose.u - spec.u0))
+    assert d_tight < d_loose
+    assert float(res_tight.eta) > float(res_loose.eta)
+
+
+def test_per_step_eta_variant(key):
+    """constrain_per_step=True: per-timestep η vector adjusted by ADAM in
+    log-space (src/iLQGkl.jl:185-236)."""
+    T = 80
+    spec, prob, model = setup(key, T=T)
+    ro = forward_pass(prob, spec.x0, spec.u0)
+    traj = GaussianPolicy.zeros(T, 10, 2, jnp.float64)._replace(k=spec.u0)
+    res = ilqg_kl(prob, ro.x, traj, model, ro.cost,
+                  cfg=ILQGKLConfig(kl_step=10.0, constrain_per_step=True,
+                                   max_iter=30, gd_alpha=0.05))
+    assert res.eta.shape == (T,)
+    assert res.divergence.shape == (T,)
+    assert float(jnp.sum(res.cost)) <= float(jnp.sum(ro.cost)) + 1e-6
+
+
+def test_control_limits_in_kl_mode(key):
+    T = 80
+    spec, prob, model = setup(key, T=T)
+    lims = jnp.array([[-0.5, 0.5], [-0.5, 0.5]])
+    u0 = jnp.clip(spec.u0, -0.5, 0.5)
+    ro = forward_pass(prob, spec.x0, u0, lims=lims)
+    traj = GaussianPolicy.zeros(T, 10, 2, jnp.float64)._replace(k=ro.u)
+    res = ilqg_kl(prob, ro.x, traj, model, ro.cost, lims=lims,
+                  cfg=ILQGKLConfig(kl_step=100.0, max_iter=30))
+    assert bool(jnp.all(res.u >= -0.5 - 1e-9))
+    assert bool(jnp.all(res.u <= 0.5 + 1e-9))
