@@ -61,6 +61,9 @@ def make_pendcart_problem(spec: PendCartSpec = PendCartSpec(),
       - ``"autodiff"`` — TPU-native default-style: exact Jacobians of the
         Euler step by jacfwd. (The reference mixes Euler rollout with ZoH
         derivatives; autodiff is self-consistent and converges comparably.)
+      - ``"euler"`` — hand-written exact Jacobians of the Euler step (same
+        values as ``"autodiff"``, pure elementwise trig — the cheapest
+        derivative path; used by the throughput benchmark).
     """
     Q = jnp.diag(jnp.asarray(spec.Q, dtype))
     R = jnp.asarray([[spec.R]], dtype)
@@ -108,6 +111,35 @@ def make_pendcart_problem(spec: PendCartSpec = PendCartSpec(),
                 return ABd[:4, :4], ABd[:4, 4:]
 
             fx, fu = jax.vmap(per_step)(x_traj[:T], u_traj)
+            dxg = x_traj[:T] - goal
+            return Derivs(
+                fx=fx, fu=fu,
+                cx=dxg @ Q.T, cu=u_traj @ R.T,
+                cxx=jnp.broadcast_to(Q, (T, 4, 4)),
+                cxu=jnp.zeros((T, 4, 1), dtype),
+                cuu=jnp.broadcast_to(R, (T, 1, 1)))
+
+    elif derivs == "euler":
+        def deriv_fn(x_traj, u_traj):
+            """Exact Jacobians of the Euler step, written elementwise so the
+            whole derivative stack is a handful of fused VPU ops per
+            trajectory point (no per-step matrix construction)."""
+            T = u_traj.shape[0]
+            th = x_traj[:T, 0]
+            u0 = u_traj[:, 0]
+            a21 = h * (-g / l * jnp.cos(th) - u0 / l * jnp.sin(th))  # (T,)
+            z = jnp.zeros_like(th)
+            o = jnp.ones_like(th)
+            hh = jnp.full_like(th, h)
+            dd = jnp.full_like(th, 1.0 - h * d)
+            # fx = I + h*fxc  (rows: [1,h,0,0; a21,1-hd,0,0; 0,0,1,h; 0,0,0,1])
+            fx = jnp.stack([
+                jnp.stack([o, hh, z, z], -1),
+                jnp.stack([a21, dd, z, z], -1),
+                jnp.stack([z, z, o, hh], -1),
+                jnp.stack([z, z, z, o], -1),
+            ], -2)                                            # (T, 4, 4)
+            fu = jnp.stack([z, h * jnp.cos(th) / l, z, hh], -1)[..., None]
             dxg = x_traj[:T] - goal
             return Derivs(
                 fx=fx, fu=fu,
