@@ -76,6 +76,87 @@ def make_lti_problem(spec: LTISpec, T: int,
     return Problem(dynamics=dynamics, cost=cost, derivs=derivs)
 
 
+def lti_lanes(spec: LTISpec):
+    """Lane-tile model for the Pallas forward kernel (see
+    :func:`make_lti_problem` for the math). Dynamics/cost constants are
+    baked in as Python floats — the kernel unrolls ``x' = Ax + Bu`` over the
+    tiny dims as full-tile FMAs."""
+    import numpy as np
+    from ..ops.pallas.forward_kernel import LanesModel
+    A = np.asarray(spec.A, np.float32)
+    Bm = np.asarray(spec.B, np.float32)
+    Q = np.asarray(spec.Q, np.float32)
+    R = np.asarray(spec.R, np.float32)
+    n, m = Bm.shape
+
+    def dynamics(x, u, t):
+        out = []
+        for i in range(n):
+            v = None
+            for j in range(n):
+                if A[i, j] != 0.0:
+                    term = float(A[i, j]) * x[j]
+                    v = term if v is None else v + term
+            for mj in range(m):
+                if Bm[i, mj] != 0.0:
+                    term = float(Bm[i, mj]) * u[mj]
+                    v = term if v is None else v + term
+            out.append(v if v is not None else jnp.zeros_like(x[0]))
+        return out
+
+    def cost(x, u, t):
+        c = None
+        for i in range(n):
+            for j in range(n):
+                if Q[i, j] != 0.0:
+                    term = 0.5 * float(Q[i, j]) * x[i] * x[j]
+                    c = term if c is None else c + term
+        for i in range(m):
+            for j in range(m):
+                if R[i, j] != 0.0:
+                    term = 0.5 * float(R[i, j]) * u[i] * u[j]
+                    c = term if c is None else c + term
+        return c
+
+    return LanesModel(n=n, m=m, dynamics=dynamics, cost=cost, terminal=None)
+
+
+def lti_packed_derivs(spec: LTISpec):
+    """Lane-layout derivative generator for the Pallas backward kernel
+    (slot order per ``ops.pallas.pack.DerivLayout`` + controls). Constant
+    ``A, B, Q, R`` broadcast; only ``cx``/``cu`` depend on the trajectory."""
+    import numpy as np
+    A = np.asarray(spec.A, np.float32)
+    Bm = np.asarray(spec.B, np.float32)
+    Q = np.asarray(spec.Q, np.float32)
+    R = np.asarray(spec.R, np.float32)
+    n, m = Bm.shape
+
+    def packed(x_lanes, u_lanes):
+        o = jnp.ones_like(x_lanes[:, 0])
+        z = jnp.zeros_like(o)
+
+        def const(v):
+            return v * o if v != 0.0 else z
+
+        fx = [const(float(A[i, j])) for i in range(n) for j in range(n)]
+        fu = [const(float(Bm[i, j])) for i in range(n) for j in range(m)]
+        cx = [sum(float(Q[i, j]) * x_lanes[:, j] for j in range(n)
+                  if Q[i, j] != 0.0) if np.any(Q[i] != 0) else z
+              for i in range(n)]
+        cu = [sum(float(R[i, j]) * u_lanes[:, j] for j in range(m)
+                  if R[i, j] != 0.0) if np.any(R[i] != 0) else z
+              for i in range(m)]
+        cxx = [const(float(Q[i, j])) for i in range(n) for j in range(n)]
+        cxu = [z] * (n * m)
+        cuu = [const(float(R[i, j])) for i in range(m) for j in range(m)]
+        u_slots = [u_lanes[:, j] for j in range(m)]
+        return jnp.stack(fx + fu + cx + cu + cxx + cxu + cuu + u_slots,
+                         axis=1)
+
+    return packed
+
+
 @dataclasses.dataclass(frozen=True)
 class SimpleLTVModel:
     """Linear time-varying model for covariance propagation — equivalent of

@@ -157,6 +157,76 @@ def make_pendcart_problem(spec: PendCartSpec = PendCartSpec(),
                    traj_cost=traj_cost)
 
 
+def pendcart_lanes(spec: PendCartSpec = PendCartSpec()):
+    """Lane-tile model for the Pallas forward kernel: dynamics/cost on lists
+    of (8, 128) tiles (one per state/control dim). Same math as
+    :func:`make_pendcart_problem` (Euler step + diagonal quadratic cost +
+    terminal evaluation, ``src/system_pendcart.jl:75-106``)."""
+    from ..ops.pallas.forward_kernel import LanesModel
+    g, l, h, d = spec.g, spec.l, spec.h, spec.d
+    Q = tuple(float(q) for q in spec.Q)
+    R = float(spec.R)
+    goal = tuple(float(v) for v in spec.goal)
+
+    def dynamics(x, u, t):
+        th, thd, p, pd = x
+        f = u[0]
+        thdd = (-g / l) * jnp.sin(th) + (f / l) * jnp.cos(th) - d * thd
+        return [th + h * thd, thd + h * thdd, p + h * pd, pd + h * f]
+
+    def cost(x, u, t):
+        c = 0.5 * R * u[0] * u[0]
+        for i in range(4):
+            dx = x[i] - goal[i]
+            c = c + 0.5 * Q[i] * dx * dx
+        return c
+
+    def terminal(x):
+        c = None
+        for i in range(4):
+            dx = x[i] - goal[i]
+            term = 0.5 * Q[i] * dx * dx
+            c = term if c is None else c + term
+        return c
+
+    return LanesModel(n=4, m=1, dynamics=dynamics, cost=cost,
+                      terminal=terminal)
+
+
+def pendcart_packed_derivs(spec: PendCartSpec = PendCartSpec()):
+    """Lane-layout derivative generator for the Pallas backward kernel:
+    ``(x_lanes (T, n, ...), u_lanes (T, m, ...)) → packed (T, D+m, ...)``
+    (slot order per ``ops.pallas.pack.DerivLayout`` + controls). Pure
+    elementwise trig on lane tiles — no transposes, no autodiff. Same values
+    as the ``"euler"`` analytic scheme."""
+    g, l, h, d = spec.g, spec.l, spec.h, spec.d
+    Q = tuple(float(q) for q in spec.Q)
+    R = float(spec.R)
+    goal = tuple(float(v) for v in spec.goal)
+
+    def packed(x_lanes, u_lanes):
+        th = x_lanes[:, 0]
+        u0 = u_lanes[:, 0]
+        z = jnp.zeros_like(th)
+        o = jnp.ones_like(th)
+        a21 = h * (-g / l * jnp.cos(th) - u0 / l * jnp.sin(th))
+        # fx = I + h*fxc, row-major 4x4
+        fx = [o, h * o, z, z,
+              a21, (1.0 - h * d) * o, z, z,
+              z, z, o, h * o,
+              z, z, z, o]
+        fu = [z, h * jnp.cos(th) / l, z, h * o]
+        cx = [Q[i] * (x_lanes[:, i] - goal[i]) for i in range(4)]
+        cu = [R * u0]
+        cxx = [Q[i] * o if i == j else z
+               for i in range(4) for j in range(4)]
+        cxu = [z] * 4
+        cuu = [R * o]
+        return jnp.stack(fx + fu + cx + cu + cxx + cxu + cuu + [u0], axis=1)
+
+    return packed
+
+
 def default_lims(dtype=jnp.float32) -> jax.Array:
     """±5 control limits (src/system_pendcart.jl:45)."""
     return jnp.array([[-5.0, 5.0]], dtype)

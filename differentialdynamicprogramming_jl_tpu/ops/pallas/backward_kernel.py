@@ -1,0 +1,555 @@
+"""Pallas TPU kernel for the batched backward pass (Riccati-like recursion).
+
+This is the framework's hottest op (reference hot loop: ``for i = N-1:-1:1``
+at ``src/backward_pass.jl:102-126`` plus the per-step gain solve / boxQP at
+``:28-79`` and ``src/boxQP.jl:71-165``). The XLA expression (vmap over B of a
+``lax.scan``) leaves >98% of the VPU idle at reference problem sizes (n≤10,
+m≤2): XLA pads the tiny per-scenario matrices onto the lane axis. This kernel
+flips the layout — **scenario batch on the lanes** (see ``pack.py``): every
+small-matrix entry is one (8, 128) register tile over 1024 scenarios, and the
+whole per-step recursion unrolls over the tiny n/m dims as full-tile VPU
+multiply-adds.
+
+Performance structure:
+- ONE packed input stream (derivatives + nominal controls, ``pack.py``
+  layout) and ONE packed output stream per (batch-tile, time-block) grid
+  step — minimizes DMA issues per step; Pallas double-buffers both.
+- ``K_T`` timesteps are processed per grid step (statically unrolled) to
+  amortize per-step pipeline overhead; the time axis is padded at the front
+  (t<0 side) so the t=T-1 boundary stays in the first grid step.
+- value-function state (Vx, Vxx, dV, divergence flags) lives in VMEM scratch
+  across the whole T loop; re-initialized per batch tile.
+- per-scenario λ regularization (reg_type 1/2, ``src/backward_pass.jl:119-123``)
+  — λ is a lane vector, so the λ-retry driver escalates each scenario
+  independently in a single kernel relaunch.
+- control limits: m==1 closed-form clamped Newton; m==2 exact 9-configuration
+  active-set enumeration (every box-QP active set of a 2-D strictly convex
+  QP) with the free set derived from the KKT gradient conditions exactly like
+  the reference (``src/boxQP.jl:92-94``).
+- "Cholesky failed" (``src/backward_pass.jl:36-38``) = per-lane PD flag; the
+  first failing timestep is latched like the reference's ``diverge`` index.
+
+Unsupported here (falls back to the XLA path in ``ops/batched.py``):
+second-order dynamics terms (full DDP), GPS/KL mode, m>2 with limits, f64.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pack import (B_TILE, LANES, SUBLANES, DerivLayout, to_lanes,
+                   from_lanes, vec_to_lanes, vec_from_lanes, padded_batch)
+from ...policy import Derivs, GaussianPolicy
+from ..backward import BackwardOut
+
+
+class OutLayout:
+    """Slot offsets of the packed backward outputs (k, K, Vx, Vxx, Quu,
+    Quu⁻¹, row-major flattened)."""
+
+    def __init__(self, n: int, m: int):
+        self.n, self.m = n, m
+        self.k = 0
+        self.K = m
+        self.Vx = self.K + m * n
+        self.Vxx = self.Vx + n
+        self.quu = self.Vxx + n * n
+        self.quui = self.quu + m * m
+        self.S = self.quui + m * m
+
+
+class InLayout(DerivLayout):
+    """Packed derivatives + nominal control slots."""
+
+    @property
+    def u(self) -> int:
+        return self.D
+
+    @property
+    def DU(self) -> int:
+        return self.D + self.m
+
+
+# ---------------------------------------------------------------------------
+# tiny-matrix helpers: matrices are Python lists of (8, 128) tiles
+# ---------------------------------------------------------------------------
+
+def _tiny_chol(Q, mm):
+    """Unrolled Cholesky of an mm×mm tile-matrix. Returns (L, ok) where ok is
+    a boolean tile (all leading minors positive — the reference's
+    ``isposdef`` check, ``src/backward_pass.jl:35-38``)."""
+    L = [[None] * mm for _ in range(mm)]
+    ok = None
+    for j in range(mm):
+        d = Q[j][j]
+        for p in range(j):
+            d = d - L[j][p] * L[j][p]
+        okj = d > 0
+        ok = okj if ok is None else ok & okj
+        Ljj = jnp.sqrt(jnp.maximum(d, 1e-30))
+        L[j][j] = Ljj
+        for i in range(j + 1, mm):
+            s = Q[i][j]
+            for p in range(j):
+                s = s - L[i][p] * L[j][p]
+            L[i][j] = s / Ljj
+    return L, ok
+
+
+def _tiny_chol_solve(L, b, mm):
+    """Solve L Lᵀ x = b (lists of tiles)."""
+    y = [None] * mm
+    for i in range(mm):
+        s = b[i]
+        for p in range(i):
+            s = s - L[i][p] * y[p]
+        y[i] = s / L[i][i]
+    x = [None] * mm
+    for i in reversed(range(mm)):
+        s = y[i]
+        for p in range(i + 1, mm):
+            s = s - L[p][i] * x[p]
+        x[i] = s / L[i][i]
+    return x
+
+
+def _tiny_inv(Q, mm):
+    """Inverse via unrolled Cholesky solves against unit vectors."""
+    L, ok = _tiny_chol(Q, mm)
+    cols = []
+    for j in range(mm):
+        e = [jnp.full_like(Q[0][0], 1.0 if i == j else 0.0)
+             for i in range(mm)]
+        cols.append(_tiny_chol_solve(L, e, mm))
+    inv = [[cols[j][i] for j in range(mm)] for i in range(mm)]
+    return inv, ok
+
+
+def _boxqp_m1(quu, qu, lo, hi):
+    """Closed-form 1-D box QP: min ½ quu x² + qu x s.t. lo ≤ x ≤ hi.
+    Returns (x, free, ok)."""
+    ok = quu > 0
+    xn = -qu / quu
+    x = jnp.clip(xn, lo, hi)
+    grad = qu + quu * x
+    clamped = ((x <= lo) & (grad > 0)) | ((x >= hi) & (grad < 0))
+    return x, ~clamped, ok
+
+
+def _boxqp_m2(Q, g, lo, hi):
+    """Exact 2-D box QP by enumerating all 9 active-set configurations
+    (each dim ∈ {lower, free, upper}), branchless. The free set of the
+    minimizer is then derived from the KKT gradient conditions (reference
+    clamp rule, ``src/boxQP.jl:92-94``). Returns (x0, x1, free0, free1, ok).
+    """
+    a, b, c = Q[0][0], Q[0][1], Q[1][1]
+    g0, g1 = g[0], g[1]
+    det = a * c - b * b
+    det_s = jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
+    a_s = jnp.where(jnp.abs(a) > 1e-30, a, 1e-30)
+    c_s = jnp.where(jnp.abs(c) > 1e-30, c, 1e-30)
+
+    def val(x0, x1):
+        return (x0 * g0 + x1 * g1
+                + 0.5 * (a * x0 * x0 + 2.0 * b * x0 * x1 + c * x1 * x1))
+
+    cands = [((-g0 * c + g1 * b) / det_s, (g0 * b - g1 * a) / det_s)]
+    for v0 in (lo[0], hi[0]):            # dim0 clamped, dim1 free
+        cands.append((v0, -(g1 + b * v0) / c_s))
+    for v1 in (lo[1], hi[1]):            # dim1 clamped, dim0 free
+        cands.append((-(g0 + b * v1) / a_s, v1))
+    for v0 in (lo[0], hi[0]):            # both clamped
+        for v1 in (lo[1], hi[1]):
+            cands.append((v0, v1))
+
+    best_x0 = best_x1 = best_v = None
+    for (x0, x1) in cands:
+        x0 = jnp.clip(x0, lo[0], hi[0])
+        x1 = jnp.clip(x1, lo[1], hi[1])
+        v = val(x0, x1)
+        if best_v is None:
+            best_x0, best_x1, best_v = x0, x1, v
+        else:
+            take = v < best_v
+            best_x0 = jnp.where(take, x0, best_x0)
+            best_x1 = jnp.where(take, x1, best_x1)
+            best_v = jnp.minimum(v, best_v)
+
+    # KKT-based clamp detection at the minimizer (src/boxQP.jl:92-94)
+    gr0 = g0 + a * best_x0 + b * best_x1
+    gr1 = g1 + b * best_x0 + c * best_x1
+    cl0 = ((best_x0 <= lo[0]) & (gr0 > 0)) | ((best_x0 >= hi[0]) & (gr0 < 0))
+    cl1 = ((best_x1 <= lo[1]) & (gr1 > 0)) | ((best_x1 >= hi[1]) & (gr1 < 0))
+    f0, f1 = ~cl0, ~cl1
+    both = f0 & f1
+    one = jnp.ones_like(a) > 0
+    ok = jnp.where(both, (a > 0) & (det > 0),
+                   jnp.where(f0, a > 0,
+                             jnp.where(f1, c > 0, one)))
+    return best_x0, best_x1, f0, f1, ok
+
+
+# ---------------------------------------------------------------------------
+# kernel body
+# ---------------------------------------------------------------------------
+
+def _make_kernel(n: int, m: int, T: int, K_T: int, reg_type: int,
+                 lims: Optional[Tuple[Tuple[float, float], ...]]):
+    lay = InLayout(n, m)
+    out = OutLayout(n, m)
+    use_limits = lims is not None
+    T_pad = -(-T // K_T) * K_T
+    Tb = T_pad // K_T
+    pad = T_pad - T
+    # scratch slots
+    SVX = 0
+    SVXX = n
+    SDV1 = n + n * n
+    SDV2 = SDV1 + 1
+    SDIV = SDV2 + 1
+    SDIVT = SDIV + 1
+    n_scratch = SDIVT + 1
+
+    def substep(kk, t_log, dp, o_ref, lam, scr, boundary: bool):
+        """One timestep. ``kk`` static sub-index in the block; ``t_log``
+        traced logical timestep; ``boundary`` selects the t=T-1 init."""
+        zero = jnp.zeros((SUBLANES, LANES), jnp.float32)
+
+        def mat(off, r, c):
+            return [[dp(kk, off + i * c + j) for j in range(c)]
+                    for i in range(r)]
+
+        if boundary:
+            # boundary t = T-1 (src/backward_pass.jl:97-99)
+            for i in range(n):
+                cxi = dp(kk, lay.cx + i)
+                scr[SVX + i] = cxi
+                o_ref[kk, out.Vx + i, 0] = cxi
+            for i in range(n * n):
+                v = dp(kk, lay.cxx + i)
+                scr[SVXX + i] = v
+                o_ref[kk, out.Vxx + i, 0] = v
+            for mi in range(m):
+                o_ref[kk, out.k + mi, 0] = zero
+                for j in range(n):
+                    o_ref[kk, out.K + mi * n + j, 0] = zero
+            cuu = mat(lay.cuu, m, m)
+            cuu_inv, _ok = _tiny_inv(cuu, m)
+            for mi in range(m):
+                for mj in range(m):
+                    o_ref[kk, out.quu + mi * m + mj, 0] = cuu[mi][mj]
+                    o_ref[kk, out.quui + mi * m + mj, 0] = cuu_inv[mi][mj]
+            scr[SDV1] = zero
+            scr[SDV2] = zero
+            scr[SDIV] = zero
+            scr[SDIVT] = zero
+            return
+
+        valid = (t_log >= 0) if pad else None
+
+        Vx = [scr[SVX + i] for i in range(n)]
+        Vxx = [[scr[SVXX + i * n + j] for j in range(n)] for i in range(n)]
+        fx = mat(lay.fx, n, n)
+        fu = mat(lay.fu, n, m)
+        cx = [dp(kk, lay.cx + i) for i in range(n)]
+        cu = [dp(kk, lay.cu + mi) for mi in range(m)]
+        cxx = mat(lay.cxx, n, n)
+        cxu = mat(lay.cxu, n, m)        # (n, m)
+        cuu = mat(lay.cuu, m, m)
+        u_t = [dp(kk, lay.u + mi) for mi in range(m)]
+
+        # Q expansions (src/backward_pass.jl:103-123)
+        Qx = [cx[i] + sum(fx[a][i] * Vx[a] for a in range(n))
+              for i in range(n)]
+        Qu = [cu[mi] + sum(fu[a][mi] * Vx[a] for a in range(n))
+              for mi in range(m)]
+        W = [[sum(Vxx[a][b] * fx[b][j] for b in range(n))
+              for j in range(n)] for a in range(n)]
+        U = [[sum(Vxx[a][b] * fu[b][mi] for b in range(n))
+              for mi in range(m)] for a in range(n)]
+        Qxx = [[cxx[i][j] + sum(fx[a][i] * W[a][j] for a in range(n))
+                for j in range(n)] for i in range(n)]
+        Quu = [[cuu[mi][mj] + sum(fu[a][mi] * U[a][mj] for a in range(n))
+                for mj in range(m)] for mi in range(m)]
+        Qux = [[cxu[j][mi] + sum(fu[a][mi] * W[a][j] for a in range(n))
+                for j in range(n)] for mi in range(m)]
+
+        # regularized gain matrices (src/backward_pass.jl:119-123)
+        if reg_type == 2:
+            fuTfx = [[sum(fu[a][mi] * fx[a][j] for a in range(n))
+                      for j in range(n)] for mi in range(m)]
+            fuTfu = [[sum(fu[a][mi] * fu[a][mj] for a in range(n))
+                      for mj in range(m)] for mi in range(m)]
+            Qux_r = [[Qux[mi][j] + lam * fuTfx[mi][j]
+                      for j in range(n)] for mi in range(m)]
+            QuuF = [[Quu[mi][mj] + lam * fuTfu[mi][mj]
+                     for mj in range(m)] for mi in range(m)]
+        else:
+            Qux_r = Qux
+            QuuF = [[Quu[mi][mj] + (lam if mi == mj else 0.0)
+                     for mj in range(m)] for mi in range(m)]
+
+        # ---- gain solve
+        if not use_limits:
+            L, ok = _tiny_chol(QuuF, m)
+            k_t = _tiny_chol_solve(L, [-Qu[mi] for mi in range(m)], m)
+            K_t = [[None] * n for _ in range(m)]
+            for j in range(n):
+                col = _tiny_chol_solve(
+                    L, [-Qux_r[mi][j] for mi in range(m)], m)
+                for mi in range(m):
+                    K_t[mi][j] = col[mi]
+        elif m == 1:
+            lo = lims[0][0] - u_t[0]
+            hi = lims[0][1] - u_t[0]
+            x, free, ok = _boxqp_m1(QuuF[0][0], Qu[0], lo, hi)
+            k_t = [x]
+            quu_s = jnp.where(jnp.abs(QuuF[0][0]) > 1e-30,
+                              QuuF[0][0], 1e-30)
+            K_t = [[jnp.where(free, -Qux_r[0][j] / quu_s, 0.0)
+                    for j in range(n)]]
+        elif m == 2:
+            lo = [lims[0][0] - u_t[0], lims[1][0] - u_t[1]]
+            hi = [lims[0][1] - u_t[0], lims[1][1] - u_t[1]]
+            x0, x1, f0, f1, ok = _boxqp_m2(QuuF, Qu, lo, hi)
+            both = f0 & f1
+            k_t = [x0, x1]
+            a, b, c = QuuF[0][0], QuuF[0][1], QuuF[1][1]
+            det = a * c - b * b
+            det_s = jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
+            a_s = jnp.where(jnp.abs(a) > 1e-30, a, 1e-30)
+            c_s = jnp.where(jnp.abs(c) > 1e-30, c, 1e-30)
+            K_t = [[None] * n for _ in range(2)]
+            for j in range(n):
+                q0, q1 = Qux_r[0][j], Qux_r[1][j]
+                kb0 = (-q0 * c + q1 * b) / det_s
+                kb1 = (q0 * b - q1 * a) / det_s
+                K_t[0][j] = jnp.where(
+                    both, kb0, jnp.where(f0, -q0 / a_s, 0.0))
+                K_t[1][j] = jnp.where(
+                    both, kb1, jnp.where(f1, -q1 / c_s, 0.0))
+        else:
+            raise NotImplementedError(
+                "Pallas backward kernel: control limits with m > 2")
+
+        # sanitize diverged lanes so downstream consumers see zeros
+        k_t = [jnp.where(ok, v, 0.0) for v in k_t]
+        K_t = [[jnp.where(ok, v, 0.0) for v in row] for row in K_t]
+
+        # ---- value update with unregularized terms
+        #      (src/backward_pass.jl:63-72)
+        Quu_k = [sum(Quu[mi][mj] * k_t[mj] for mj in range(m))
+                 for mi in range(m)]
+        dv1 = scr[SDV1] + sum(k_t[mi] * Qu[mi] for mi in range(m))
+        dv2 = scr[SDV2] + 0.5 * sum(k_t[mi] * Quu_k[mi] for mi in range(m))
+        QuuK = [[sum(Quu[mi][mj] * K_t[mj][j] for mj in range(m))
+                 for j in range(n)] for mi in range(m)]
+        Vx_n = [Qx[i]
+                + sum(K_t[mi][i] * (Quu_k[mi] + Qu[mi]) for mi in range(m))
+                + sum(Qux[mi][i] * k_t[mi] for mi in range(m))
+                for i in range(n)]
+        Vxx_raw = [[Qxx[i][j]
+                    + sum(K_t[mi][i] * QuuK[mi][j] for mi in range(m))
+                    + sum(K_t[mi][i] * Qux[mi][j] for mi in range(m))
+                    + sum(Qux[mi][i] * K_t[mi][j] for mi in range(m))
+                    for j in range(n)] for i in range(n)]
+        Vxx_n = [[0.5 * (Vxx_raw[i][j] + Vxx_raw[j][i])
+                  for j in range(n)] for i in range(n)]
+
+        Quu_inv, _okinv = _tiny_inv(Quu, m)
+
+        # ---- divergence latch (reference: diverge = first bad t, 1-based;
+        #      src/backward_pass.jl:36-38)
+        bad = (~ok).astype(jnp.float32)
+        was_div = scr[SDIV]
+        newly = bad * (1.0 - was_div)
+        tf = (t_log + 1).astype(jnp.float32)
+        divt = scr[SDIVT] * (1.0 - newly) + newly * tf
+        div = jnp.maximum(was_div, bad)
+
+        if valid is not None:
+            # padded (t<0) sub-steps must not advance state
+            keep = lambda new, old: jnp.where(valid, new, old)
+            Vx_n = [keep(v, Vx[i]) for i, v in enumerate(Vx_n)]
+            Vxx_n = [[keep(Vxx_n[i][j], Vxx[i][j]) for j in range(n)]
+                     for i in range(n)]
+            dv1 = keep(dv1, scr[SDV1])
+            dv2 = keep(dv2, scr[SDV2])
+            div = keep(div, was_div)
+            divt = keep(divt, scr[SDIVT])
+
+        # ---- write outputs + scratch
+        for mi in range(m):
+            o_ref[kk, out.k + mi, 0] = k_t[mi]
+            for j in range(n):
+                o_ref[kk, out.K + mi * n + j, 0] = K_t[mi][j]
+        for i in range(n):
+            o_ref[kk, out.Vx + i, 0] = Vx_n[i]
+            scr[SVX + i] = Vx_n[i]
+            for j in range(n):
+                o_ref[kk, out.Vxx + i * n + j, 0] = Vxx_n[i][j]
+                scr[SVXX + i * n + j] = Vxx_n[i][j]
+        for mi in range(m):
+            for mj in range(m):
+                o_ref[kk, out.quu + mi * m + mj, 0] = Quu[mi][mj]
+                o_ref[kk, out.quui + mi * m + mj, 0] = Quu_inv[mi][mj]
+        scr[SDV1] = dv1
+        scr[SDV2] = dv2
+        scr[SDIV] = div
+        scr[SDIVT] = divt
+
+    def kernel(dp_ref, lam_ref, o_ref, stat_ref, scr):
+        g = pl.program_id(1)
+        lam = lam_ref[0]
+        blk = (Tb - 1) - g                  # time-block index (traced)
+
+        def dp(kk, s):
+            return dp_ref[kk, s, 0]
+
+        # sub-steps run in reverse time order: kk = K_T-1 .. 0
+        for kk in reversed(range(K_T)):
+            t_log = blk * K_T + kk - pad
+            if kk == K_T - 1:
+                @pl.when(g == 0)
+                def _():
+                    substep(kk, t_log, dp, o_ref, lam, scr, boundary=True)
+
+                @pl.when(g > 0)
+                def _():
+                    substep(kk, t_log, dp, o_ref, lam, scr, boundary=False)
+            else:
+                substep(kk, t_log, dp, o_ref, lam, scr, boundary=False)
+
+        stat_ref[0, 0] = scr[SDV1]
+        stat_ref[1, 0] = scr[SDV2]
+        stat_ref[2, 0] = scr[SDIV]
+        stat_ref[3, 0] = scr[SDIVT]
+
+    return kernel, n_scratch, Tb, pad
+
+
+class BackwardLanesOut(NamedTuple):
+    """Lane-layout backward-pass outputs (see ``pack.py``; ``out`` slots per
+    :class:`OutLayout`)."""
+
+    out: jax.Array      # (T, S, nB, 8, 128)
+    stats: jax.Array    # (4, nB, 8, 128): dV1, dV2, diverged, diverge_idx
+
+
+def pack_backward_inputs(derivs: Derivs, u: jax.Array, B: int) -> jax.Array:
+    """Batch-major ``Derivs`` + controls → packed input stream
+    (T, D+m, nB, 8, 128)."""
+    T = u.shape[1]
+    parts = [derivs.fx, derivs.fu, derivs.cx, derivs.cu,
+             derivs.cxx, derivs.cxu, derivs.cuu, u]
+    flat = [p.astype(jnp.float32).reshape(B, T, -1) for p in parts]
+    return to_lanes(jnp.concatenate(flat, axis=-1), B)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "m", "reg_type", "lims", "k_t", "interpret"))
+def backward_lanes(dp: jax.Array, lam: jax.Array,
+                   *, n: int, m: int, reg_type: int = 1,
+                   lims: Optional[Tuple[Tuple[float, float], ...]] = None,
+                   k_t: int = 8,
+                   interpret: bool = False) -> BackwardLanesOut:
+    """Run the backward kernel on a packed lane-layout input stream.
+
+    ``dp``: (T, D+m, nB, 8, 128) from :func:`pack_backward_inputs`;
+    ``lam``: per-scenario λ (nB, 8, 128). ``lims``: static ((lo, hi),)*m or
+    None. ``k_t``: timesteps per grid step. Returns lane-layout outputs.
+    """
+    T, DU, nB = dp.shape[0], dp.shape[1], dp.shape[2]
+    lay = InLayout(n, m)
+    assert DU == lay.DU, f"packed D={DU} != layout D={lay.DU}"
+    assert T >= 2
+    k_t = min(k_t, T)
+    kernel, n_scratch, Tb, pad = _make_kernel(n, m, T, k_t, reg_type, lims)
+    if pad:
+        dp = jnp.concatenate(
+            [jnp.zeros((pad,) + dp.shape[1:], dp.dtype), dp], axis=0)
+
+    tile = (SUBLANES, LANES)
+    f32 = jnp.float32
+    S = OutLayout(n, m).S
+
+    def rev(bt, g):
+        return (Tb - 1 - g, 0, bt, 0, 0)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(nB, Tb),
+        in_specs=[
+            pl.BlockSpec((k_t, DU, 1) + tile, rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + tile, lambda bt, g: (bt, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct((Tb * k_t, S, nB) + tile, f32),
+            jax.ShapeDtypeStruct((4, nB) + tile, f32),
+        ),
+        out_specs=(
+            pl.BlockSpec((k_t, S, 1) + tile, rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 1) + tile, lambda bt, g: (0, bt, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((n_scratch,) + tile, f32)],
+        interpret=interpret,
+    )(dp, lam)
+    o, stats = out
+    return BackwardLanesOut(out=o[pad:], stats=stats)
+
+
+def backward_pass_pallas(derivs: Derivs, u: jax.Array, lam: jax.Array,
+                         reg_type: int = 1,
+                         lims=None,
+                         use_limits: bool = False,
+                         k_t: int = 8,
+                         interpret: bool = False) -> BackwardOut:
+    """Batch-major convenience wrapper (parity interface with
+    ``ops.backward.backward_pass`` vmapped over B).
+
+    ``derivs``: (B, T, ...) leaves; ``u``: (B, T, m); ``lam``: (B,).
+    Packs to lane layout, runs the kernel, unpacks to (B, T, ...).
+    """
+    B, T, m = u.shape
+    n = derivs.cx.shape[-1]
+    if not use_limits:
+        lims_t = None
+    else:
+        import numpy as np
+        lims_np = np.asarray(lims, np.float32)
+        lims_t = tuple((float(lo), float(hi)) for lo, hi in lims_np)
+
+    dp = pack_backward_inputs(derivs, u, B)
+    res = backward_lanes(dp, vec_to_lanes(lam.astype(jnp.float32)),
+                         n=n, m=m, reg_type=reg_type, lims=lims_t,
+                         k_t=k_t, interpret=interpret)
+    lay = OutLayout(n, m)
+    o = res.out
+
+    def take(off, size, shape):
+        return from_lanes(o[:, off:off + size], B, shape)
+
+    policy = GaussianPolicy(
+        K=take(lay.K, m * n, (m, n)),
+        k=take(lay.k, m, (m,)),
+        sigma=take(lay.quui, m * m, (m, m)),
+        sigma_inv=take(lay.quu, m * m, (m, m)),
+    )
+    stats = res.stats.reshape(4, -1)[:, :B]
+    dV = jnp.transpose(stats[:2])                         # (B, 2)
+    return BackwardOut(
+        diverged=stats[2] > 0.5,
+        diverge_idx=stats[3].astype(jnp.int32),
+        policy=policy,
+        Vx=take(lay.Vx, n, (n,)),
+        Vxx=take(lay.Vxx, n * n, (n, n)),
+        dV=dV,
+    )

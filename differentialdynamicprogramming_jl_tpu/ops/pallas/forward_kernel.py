@@ -1,0 +1,208 @@
+"""Pallas TPU kernel for the batched forward rollout + multi-α line search.
+
+Reference: ``forward_pass`` (``src/forward_pass.jl:9-33``) and the serial
+backtracking line search (``src/iLQG.jl:266-281``). TPU-native re-design:
+
+- scenario batch on the lanes (see ``pack.py``), time sequential in the grid;
+- ALL line-search α candidates are evaluated inside the kernel against the
+  same DMA'd per-step data — the per-candidate state lives in VMEM scratch,
+  so trying 6 α's costs 6× (tiny) compute but 1× HBM traffic;
+- two-phase line search: phase A emits only per-α total costs (the accept
+  decision), phase B re-rolls with the per-scenario accepted α and emits the
+  trajectory. 2 streaming passes beat 1 pass that materializes every
+  candidate trajectory 6× over.
+
+The dynamics/cost are supplied as **lane functions** operating on lists of
+(8, 128) tiles (one tile per state/control dimension) — see
+:class:`LanesModel`; models provide hand-written instances
+(``models/pendcart.py``, ``models/linear.py``).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pack import LANES, SUBLANES
+
+
+@dataclasses.dataclass(frozen=True)
+class LanesModel:
+    """Batched-on-lanes problem functions for the Pallas forward kernel.
+
+    - ``dynamics(x, u, t) -> x_next``: x list[n], u list[m] of (8, 128)
+      tiles; ``t`` is a traced scalar timestep.
+    - ``cost(x, u, t) -> tile``: running cost.
+    - ``terminal(x) -> tile`` or None: extra terminal cost evaluated at the
+      last state of the trajectory (the reference appends a zero-control
+      evaluation, ``src/system_pendcart.jl:97-106``).
+    - ``n``, ``m``: state/control dims.
+    """
+
+    n: int
+    m: int
+    dynamics: Callable
+    cost: Callable
+    terminal: Optional[Callable] = None
+
+
+class ForwardLanesOut(NamedTuple):
+    totals: jax.Array           # (A, nB, 8, 128) total cost per α candidate
+    traj: Optional[jax.Array]   # (T, n+m+1, nB, 8, 128): x, u, c — or None
+    terminal: jax.Array         # (A, nB, 8, 128) terminal-cost component
+
+
+def _make_kernel(model: LanesModel, T: int, K_T: int, A: int,
+                 lims: Optional[Tuple[Tuple[float, float], ...]],
+                 gk: int, gK: int, emit_traj: bool):
+    n, m = model.n, model.m
+    Tb = -(-T // K_T)
+    T_pad = Tb * K_T
+    # scratch: per candidate α — x (n), run-cost (1), terminal (1)
+    stride = n + 2
+
+    def kernel(*refs):
+        if emit_traj:
+            (traj_ref, gains_ref, x0_ref, alpha_ref,
+             totals_ref, term_ref, out_ref, scr) = refs
+        else:
+            (traj_ref, gains_ref, x0_ref, alpha_ref,
+             totals_ref, term_ref, scr) = refs
+        g = pl.program_id(1)
+
+        @pl.when(g == 0)
+        def _():
+            zero = jnp.zeros((SUBLANES, LANES), jnp.float32)
+            for a in range(A):
+                for i in range(n):
+                    scr[a * stride + i] = x0_ref[i, 0]
+                scr[a * stride + n] = zero
+                scr[a * stride + n + 1] = zero
+
+        for kk in range(K_T):
+            t_log = g * K_T + kk
+            x_old = [traj_ref[kk, i, 0] for i in range(n)]
+            u_nom = [traj_ref[kk, n + mi, 0] for mi in range(m)]
+            k_t = [gains_ref[kk, gk + mi, 0] for mi in range(m)]
+            K_t = [[gains_ref[kk, gK + mi * n + j, 0] for j in range(n)]
+                   for mi in range(m)]
+            valid = t_log < T
+            is_last = t_log == (T - 1)
+
+            for a in range(A):
+                x = [scr[a * stride + i] for i in range(n)]
+                alpha = alpha_ref[a, 0]
+                # u = u_nom + α k + K (x - x_old), clamped
+                # (src/forward_pass.jl:17-24)
+                u = []
+                for mi in range(m):
+                    v = u_nom[mi] + alpha * k_t[mi]
+                    for j in range(n):
+                        v = v + K_t[mi][j] * (x[j] - x_old[j])
+                    if lims is not None:
+                        v = jnp.clip(v, lims[mi][0], lims[mi][1])
+                    u.append(v)
+                c = model.cost(x, u, t_log)
+                if emit_traj and a == 0:
+                    for i in range(n):
+                        out_ref[kk, i, 0] = x[i]
+                    for mi in range(m):
+                        out_ref[kk, n + mi, 0] = u[mi]
+                    out_ref[kk, n + m, 0] = c
+                x_next = model.dynamics(x, u, t_log)
+                if model.terminal is not None:
+                    term = model.terminal(x)
+                    scr[a * stride + n + 1] = jnp.where(
+                        is_last, term, scr[a * stride + n + 1])
+                for i in range(n):
+                    scr[a * stride + i] = jnp.where(valid, x_next[i], x[i])
+                scr[a * stride + n] = scr[a * stride + n] + jnp.where(
+                    valid, c, 0.0)
+
+        for a in range(A):
+            totals_ref[a, 0] = scr[a * stride + n] + scr[a * stride + n + 1]
+            term_ref[a, 0] = scr[a * stride + n + 1]
+
+    return kernel, Tb, T_pad, A * stride
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "lims", "gk", "gK", "emit_traj", "k_t",
+                     "interpret"))
+def forward_lanes(traj: jax.Array, gains: jax.Array, x0: jax.Array,
+                  alphas: jax.Array,
+                  *, model: LanesModel,
+                  lims: Optional[Tuple[Tuple[float, float], ...]] = None,
+                  gk: int = 0, gK: Optional[int] = None,
+                  emit_traj: bool = False,
+                  k_t: int = 8,
+                  interpret: bool = False) -> ForwardLanesOut:
+    """Run the forward kernel on lane-layout inputs.
+
+    - ``traj``: (T, n+m, nB, 8, 128) — slots [x_old(n), u_nom(m)].
+    - ``gains``: (T, Sg, nB, 8, 128) — any packed stream holding k at slot
+      ``gk`` and K (row-major (m, n)) at slot ``gK`` (defaults consume a
+      compact [k, K] stream; pass the backward kernel's ``out`` directly with
+      its :class:`~.backward_kernel.OutLayout` offsets).
+    - ``x0``: (n, nB, 8, 128); ``alphas``: (A, nB, 8, 128).
+    - ``emit_traj``: write the candidate-0 trajectory stream
+      (T, n+m+1, nB, 8, 128) — use with A==1 and per-scenario α for the
+      accepted-step re-roll.
+    """
+    n, m = model.n, model.m
+    T, nB = traj.shape[0], traj.shape[2]
+    A = alphas.shape[0]
+    if gK is None:
+        gK = m
+    k_t = min(k_t, T)
+    kernel, Tb, T_pad, n_scratch = _make_kernel(
+        model, T, k_t, A, lims, gk, gK, emit_traj)
+    if T_pad != T:
+        zpad = lambda a: jnp.concatenate(
+            [a, jnp.zeros((T_pad - T,) + a.shape[1:], a.dtype)], axis=0)
+        traj, gains = zpad(traj), zpad(gains)
+
+    tile = (SUBLANES, LANES)
+    f32 = jnp.float32
+    fwd = lambda bt, g: (g, 0, bt, 0, 0)
+    fixedA = lambda bt, g: (0, bt, 0, 0)
+
+    out_shape = [jax.ShapeDtypeStruct((A, nB) + tile, f32),
+                 jax.ShapeDtypeStruct((A, nB) + tile, f32)]
+    out_specs = [pl.BlockSpec((A, 1) + tile, fixedA, memory_space=pltpu.VMEM),
+                 pl.BlockSpec((A, 1) + tile, fixedA, memory_space=pltpu.VMEM)]
+    if emit_traj:
+        out_shape.append(
+            jax.ShapeDtypeStruct((T_pad, n + m + 1, nB) + tile, f32))
+        out_specs.append(
+            pl.BlockSpec((k_t, n + m + 1, 1) + tile, fwd,
+                         memory_space=pltpu.VMEM))
+
+    res = pl.pallas_call(
+        kernel,
+        grid=(nB, Tb),
+        in_specs=[
+            pl.BlockSpec((k_t, n + m, 1) + tile, fwd,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_t, gains.shape[1], 1) + tile, fwd,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 1) + tile, fixedA, memory_space=pltpu.VMEM),
+            pl.BlockSpec((A, 1) + tile, fixedA, memory_space=pltpu.VMEM),
+        ],
+        out_shape=tuple(out_shape),
+        out_specs=tuple(out_specs),
+        scratch_shapes=[pltpu.VMEM((n_scratch,) + tile, f32)],
+        interpret=interpret,
+    )(traj, gains, x0, alphas)
+
+    if emit_traj:
+        totals, term, out = res
+        return ForwardLanesOut(totals=totals, traj=out[:T], terminal=term)
+    totals, term = res
+    return ForwardLanesOut(totals=totals, traj=None, terminal=term)

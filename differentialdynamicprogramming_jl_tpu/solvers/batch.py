@@ -1,0 +1,331 @@
+"""Batched lane-layout iLQG driver — the TPU fast path for MPC fleets.
+
+Runs the full iLQG outer loop (reference ``src/iLQG.jl:143-341``) for
+thousands of scenarios at once with **all per-timestep data in lane layout**
+(batch on the VPU lanes, see ``ops/pallas/pack.py``), chaining the Pallas
+backward kernel and forward/line-search kernel with zero transposes:
+
+    packed derivatives  →  backward kernel  →  phase-A line search (totals)
+         ↑                                          ↓ pick α per scenario
+    accepted trajectory  ←  phase-B re-roll (trajectory stream)
+
+Control flow (λ retry, accept/reject, per-scenario termination) is
+elementwise on (nB, 8, 128) lane masks inside one ``lax.while_loop`` — the
+reference's per-problem while loops run in lock-step with per-lane masking,
+exactly the semantics of ``solvers/ilqg.py`` vmapped, but ~50-100× faster on
+TPU at reference problem sizes.
+
+Restrictions of this fast path (the generic ``ilqg``/``ilqg_batched`` XLA
+path covers the rest): first-order dynamics (iLQG, not full DDP), f32,
+control limits only for m ≤ 2, no GPS/KL mode, no per-iteration trace.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..policy import GaussianPolicy
+from ..ops.pallas.pack import (B_TILE, LANES, SUBLANES, to_lanes, from_lanes,
+                               vec_to_lanes, vec_from_lanes, padded_batch)
+from ..ops.pallas.backward_kernel import (InLayout, OutLayout, backward_lanes)
+from ..ops.pallas.forward_kernel import LanesModel, forward_lanes
+from .ilqg import ILQGConfig, default_alphas
+
+
+class BatchILQGResult(NamedTuple):
+    """Per-scenario results, batch-major (unpacked from lane layout)."""
+
+    x: jax.Array          # (B, T, n)
+    u: jax.Array          # (B, T, m)
+    policy: GaussianPolicy  # leaves (B, T, ...); k == final u
+    Vx: jax.Array         # (B, T, n)
+    Vxx: jax.Array        # (B, T, n, n)
+    cost: jax.Array       # (B, T) running costs
+    cost_total: jax.Array  # (B,) incl. terminal component
+    n_iters: jax.Array    # (B,)
+    n_accepted: jax.Array  # (B,)
+    reason: jax.Array     # (B,) exit codes as solvers.ilqg
+    lam: jax.Array        # (B,)
+    g_norm: jax.Array     # (B,)
+
+
+class _Carry(NamedTuple):
+    x: jax.Array          # (T, n, nB, 8, 128)
+    u: jax.Array          # (T, m, nB, 8, 128)
+    c_run: jax.Array      # (T, nB, 8, 128)
+    cost_tot: jax.Array   # (nB, 8, 128)
+    lam: jax.Array        # (nB, 8, 128)
+    dlam: jax.Array
+    bo: jax.Array         # (T, S, nB, 8, 128) backward out stream
+    done: jax.Array       # bool lanes
+    reason: jax.Array     # int32 lanes
+    accepted: jax.Array   # int32 lanes
+    it: jax.Array         # scalar int32
+    it_lane: jax.Array    # int32 lanes: last iteration each scenario ran
+    g_norm: jax.Array     # lanes
+
+
+def _bc(mask, arr):
+    """Broadcast a lane mask (nB, 8, 128) against (T, s, nB, 8, 128)."""
+    extra = arr.ndim - mask.ndim
+    return mask.reshape((1,) * extra + mask.shape)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "packed_derivs", "lims", "cfg", "interpret"))
+def ilqg_batch_lanes(model: LanesModel,
+                     packed_derivs: Callable,
+                     x0s: jax.Array,
+                     u0s: jax.Array,
+                     lims: Optional[Tuple[Tuple[float, float], ...]] = None,
+                     cfg: ILQGConfig = ILQGConfig(),
+                     interpret: bool = False) -> BatchILQGResult:
+    """Solve B independent iLQG problems (reference semantics of
+    ``src/iLQG.jl:143-341`` per scenario).
+
+    - ``model``: :class:`LanesModel` (dynamics/cost on lane tiles).
+    - ``packed_derivs``: ``(x_lanes, u_lanes) → (T, D+m, nB, 8, 128)`` packed
+      derivative stream (see ``models/*.py`` generators).
+    - ``x0s``: (B, n) initial states; ``u0s``: (B, T, m) initial controls.
+    - ``lims``: static ``((lo, hi),) * m`` or None.
+    """
+    n, m = model.n, model.m
+    B, T = u0s.shape[0], u0s.shape[1]
+    f32 = jnp.float32
+    lay = OutLayout(n, m)
+    cap = cfg.cap()
+
+    x0_l = to_lanes(x0s.astype(f32)[:, None, :], B)[0]     # (n, nB, 8, 128)
+    u_nom0 = to_lanes(u0s.astype(f32), B)                   # (T, m, ...)
+    L = x0_l.shape[1:]                                      # (nB, 8, 128)
+    ones = jnp.ones(L, f32)
+    zeros = jnp.zeros(L, f32)
+
+    alphas = jnp.asarray(cfg.alphas, f32)
+    A = alphas.shape[0]
+    al_all = jnp.broadcast_to(alphas.reshape(A, 1, 1, 1), (A,) + L)
+
+    kt = 16
+
+    def run_fwd(traj, gains, al, gk, gK, emit):
+        return forward_lanes(traj, gains, x0_l, al, model=model, lims=lims,
+                             gk=gk, gK=gK, emit_traj=emit, k_t=kt,
+                             interpret=interpret)
+
+    # ---- initial rollout α-sweep (src/iLQG.jl:181-210): u ← α·u0 via the
+    #      trick k := u0, u_nom := 0
+    traj0 = jnp.zeros((T, n + m) + L, f32)
+    gains0 = jnp.concatenate(
+        [u_nom0, jnp.zeros((T, m * n) + L, f32)], axis=1)
+    fa0 = run_fwd(traj0, gains0, al_all, 0, m, False)
+    ok0 = jnp.isfinite(fa0.totals) & (fa0.totals < 1e16)    # |x|<1e8 guard
+    any0 = jnp.any(ok0, axis=0)
+    idx0 = jnp.argmax(ok0, axis=0)
+    al_init = jnp.where(any0, alphas[idx0], 0.0)
+    fb0 = run_fwd(traj0, gains0, al_init[None], 0, m, True)
+
+    x_init = fb0.traj[:, :n]
+    u_init = fb0.traj[:, n:n + m]
+    c_init = fb0.traj[:, n + m]
+    tot_init = fb0.totals[0]
+
+    carry0 = _Carry(
+        x=x_init, u=u_init, c_run=c_init, cost_tot=tot_init,
+        lam=cfg.lam * ones, dlam=cfg.dlam * ones,
+        bo=jnp.zeros((T, lay.S) + L, f32),
+        done=~any0,
+        reason=jnp.where(any0, 0, 5).astype(jnp.int32),
+        accepted=jnp.ones(L, jnp.int32),
+        it=jnp.ones((), jnp.int32),
+        it_lane=jnp.zeros(L, jnp.int32),
+        g_norm=zeros)
+
+    lims_s = lims  # static
+
+    def run_bwd(dp, lam):
+        return backward_lanes(dp, lam, n=n, m=m, reg_type=cfg.reg_type,
+                              lims=lims_s, k_t=kt, interpret=interpret)
+
+    def loop_cond(c: _Carry):
+        return (~jnp.all(c.done)) & (c.it < cap)
+
+    def loop_body(c: _Carry) -> _Carry:
+        active = ~c.done
+
+        # == STEP 1: derivatives (recomputing unchanged trajectories is
+        #    bitwise identical to the reference's flg_change caching,
+        #    src/iLQG.jl:226-229)
+        dp = packed_derivs(c.x, c.u)
+
+        # == STEP 2: backward pass with per-scenario λ retry
+        #    (src/iLQG.jl:234-251)
+        res0 = run_bwd(dp, c.lam)
+
+        def retry_cond(s):
+            _res, lam_, _dlam, aborted = s
+            div = _res.stats[2] > 0.5
+            return jnp.any(active & div & (~aborted))
+
+        def retry_body(s):
+            res_, lam_, dlam_, aborted = s
+            div = (res_.stats[2] > 0.5) & active & (~aborted)
+            lam_n = jnp.where(div, jnp.maximum(lam_ * dlam_, cfg.lam_min),
+                              lam_)
+            dlam_n = jnp.where(div, jnp.maximum(dlam_ * cfg.lam_factor,
+                                                cfg.lam_factor), dlam_)
+            aborted_n = aborted | (div & (lam_n > cfg.lam_max))
+            res_n = run_bwd(dp, lam_n)
+            return (res_n, lam_n, dlam_n, aborted_n)
+
+        res, lam, dlam, bp_aborted = lax.while_loop(
+            retry_cond, retry_body,
+            (res0, c.lam, c.dlam, jnp.zeros(L, bool)))
+        bo = res.out
+        dV1, dV2 = res.stats[0], res.stats[1]
+        still_div = res.stats[2] > 0.5
+        bp_bad = bp_aborted | still_div
+
+        # gradient-norm termination (src/iLQG.jl:256-261)
+        k_s = bo[:, lay.k:lay.k + m]                        # (T, m, ...)
+        g_norm = jnp.mean(jnp.max(
+            jnp.abs(k_s) / (jnp.abs(c.u) + 1.0), axis=1), axis=0)
+        grad_conv = (g_norm < cfg.tol_grad) & (lam < 1e-5) & (~bp_bad)
+
+        # == STEP 3: line search, all α in one kernel pass
+        #    (src/iLQG.jl:264-283)
+        traj = jnp.concatenate([c.x, c.u], axis=1)
+        fa = run_fwd(traj, bo, al_all, lay.k, lay.K, False)
+        dcost = c.cost_tot[None] - fa.totals                # (A, lanes)
+        expected = -alphas.reshape(A, 1, 1, 1) * (
+            dV1[None] + alphas.reshape(A, 1, 1, 1) * dV2[None])
+        ratio = jnp.where(expected > 0, dcost / expected, jnp.sign(dcost))
+        ok = ratio > cfg.reduce_ratio_min
+        any_ok = jnp.any(ok, axis=0)
+        idx = jnp.argmax(ok, axis=0)
+        al_sel = jnp.where(any_ok, alphas[idx], 0.0)
+        accept = any_ok & (~bp_bad) & (~grad_conv) & active
+
+        fb = run_fwd(traj, bo, al_sel[None], lay.k, lay.K, True)
+
+        def pick(a):
+            return jnp.take_along_axis(a, idx[None], axis=0)[0]
+
+        dcost_sel = pick(dcost)
+
+        # == STEP 4: accept / reject λ update (src/iLQG.jl:293-323)
+        dlam_acc = jnp.minimum(dlam / cfg.lam_factor, 1.0 / cfg.lam_factor)
+        lam_acc = jnp.maximum(lam * dlam_acc, cfg.lam_min)
+        lam_rej = jnp.maximum(lam * dlam, cfg.lam_min)
+        dlam_rej = jnp.maximum(dlam * cfg.lam_factor, cfg.lam_factor)
+        lam_n = jnp.where(accept, lam_acc, lam_rej)
+        dlam_n = jnp.where(accept, dlam_acc, dlam_rej)
+
+        cost_conv = accept & (dcost_sel < cfg.tol_fun)
+        lam_exceeded = active & (~accept) & (~grad_conv) & (lam_n > cfg.lam_max)
+
+        # on gradient convergence the reference breaks before the λ update
+        lam_n = jnp.where(grad_conv, lam, lam_n)
+        dlam_n = jnp.where(grad_conv, dlam, dlam_n)
+
+        newly_done = active & (grad_conv | cost_conv | lam_exceeded)
+        reason_new = jnp.where(
+            grad_conv, 1, jnp.where(cost_conv, 2, 3)).astype(jnp.int32)
+        reason = jnp.where(newly_done, reason_new, c.reason)
+
+        upd = accept
+        x_n = jnp.where(_bc(upd, c.x), fb.traj[:, :n], c.x)
+        u_n = jnp.where(_bc(upd, c.u), fb.traj[:, n:n + m], c.u)
+        c_run_n = jnp.where(_bc(upd, c.c_run), fb.traj[:, n + m], c.c_run)
+        tot_n = jnp.where(upd, fb.totals[0], c.cost_tot)
+        bo_n = jnp.where(_bc(active, bo), bo, c.bo)
+
+        accepted = c.accepted + accept.astype(jnp.int32)
+        done = c.done | newly_done | (accepted > cfg.max_iter)
+
+        return _Carry(
+            x=x_n, u=u_n, c_run=c_run_n, cost_tot=tot_n,
+            lam=jnp.where(active, lam_n, c.lam),
+            dlam=jnp.where(active, dlam_n, c.dlam),
+            bo=bo_n, done=done, reason=reason,
+            accepted=accepted, it=c.it + 1,
+            it_lane=jnp.where(active, c.it, c.it_lane),
+            g_norm=jnp.where(active, g_norm, c.g_norm))
+
+    c = lax.while_loop(loop_cond, loop_body, carry0)
+    reason = jnp.where((c.reason == 0) & (c.accepted > cfg.max_iter),
+                       4, c.reason).astype(jnp.int32)
+
+    # ---- unpack to batch-major
+    x = from_lanes(c.x, B, (n,))
+    u = from_lanes(c.u, B, (m,))
+    cost = from_lanes(c.c_run[:, None], B, ())
+    K = from_lanes(c.bo[:, lay.K:lay.K + m * n], B, (m, n))
+    sigma = from_lanes(c.bo[:, lay.quui:lay.quui + m * m], B, (m, m))
+    sigma_inv = from_lanes(c.bo[:, lay.quu:lay.quu + m * m], B, (m, m))
+    policy = GaussianPolicy(K=K, k=u, sigma=sigma, sigma_inv=sigma_inv)
+
+    return BatchILQGResult(
+        x=x, u=u, policy=policy,
+        Vx=from_lanes(c.bo[:, lay.Vx:lay.Vx + n], B, (n,)),
+        Vxx=from_lanes(c.bo[:, lay.Vxx:lay.Vxx + n * n], B, (n, n)),
+        cost=cost,
+        cost_total=vec_from_lanes(c.cost_tot, B),
+        n_iters=vec_from_lanes(c.it_lane, B),
+        n_accepted=vec_from_lanes(c.accepted, B) - 1,
+        reason=vec_from_lanes(reason, B),
+        lam=vec_from_lanes(c.lam, B),
+        g_norm=vec_from_lanes(c.g_norm, B),
+    )
+
+
+def ilqg_iteration_lanes(model: LanesModel, packed_derivs: Callable,
+                         lims, cfg: ILQGConfig, interpret: bool = False):
+    """Build a jittable single-iteration step function on lane-layout state
+    — the per-step hot path of an MPC loop (and of ``bench.py``). Returns
+    ``step(x, u, cost_tot, lam) -> (x, u, cost_tot, lam)`` with
+    lane-layout args ((T, n, nB, 8, 128), ...)."""
+    n, m = model.n, model.m
+    lay = OutLayout(n, m)
+    alphas = jnp.asarray(cfg.alphas, jnp.float32)
+    A = alphas.shape[0]
+    kt = 16
+
+    def step(x, u, cost_tot, lam):
+        L = x.shape[2:]
+        x0_l = x[0]
+        dp = packed_derivs(x, u)
+        res = backward_lanes(dp, lam, n=n, m=m, reg_type=cfg.reg_type,
+                             lims=lims, k_t=kt, interpret=interpret)
+        bo = res.out
+        dV1, dV2 = res.stats[0], res.stats[1]
+        bad = res.stats[2] > 0.5
+        traj = jnp.concatenate([x, u], axis=1)
+        al_all = jnp.broadcast_to(alphas.reshape(A, 1, 1, 1), (A,) + L)
+        fa = forward_lanes(traj, bo, x0_l, al_all, model=model, lims=lims,
+                           gk=lay.k, gK=lay.K, k_t=kt, interpret=interpret)
+        dcost = cost_tot[None] - fa.totals
+        expected = -alphas.reshape(A, 1, 1, 1) * (
+            dV1[None] + alphas.reshape(A, 1, 1, 1) * dV2[None])
+        ratio = jnp.where(expected > 0, dcost / expected, jnp.sign(dcost))
+        ok = ratio > cfg.reduce_ratio_min
+        any_ok = jnp.any(ok, axis=0)
+        idx = jnp.argmax(ok, axis=0)
+        al_sel = jnp.where(any_ok, alphas[idx], 0.0)
+        accept = any_ok & (~bad)
+        fb = forward_lanes(traj, bo, x0_l, al_sel[None], model=model,
+                           lims=lims, gk=lay.k, gK=lay.K, emit_traj=True,
+                           k_t=kt, interpret=interpret)
+        x_n = jnp.where(_bc(accept, x), fb.traj[:, :n], x)
+        u_n = jnp.where(_bc(accept, u), fb.traj[:, n:n + m], u)
+        tot_n = jnp.where(accept, fb.totals[0], cost_tot)
+        lam_n = jnp.where(accept, jnp.maximum(lam / cfg.lam_factor, 1e-6),
+                          jnp.minimum(lam * cfg.lam_factor, cfg.lam_max))
+        return x_n, u_n, tot_n, lam_n
+
+    return step

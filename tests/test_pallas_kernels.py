@@ -1,0 +1,167 @@
+"""Pallas kernel parity tests (interpret mode on CPU).
+
+The backward kernel (ops/pallas/backward_kernel.py) and forward kernel
+(ops/pallas/forward_kernel.py) are validated against the XLA reference path
+(ops/backward.py, ops/forward.py) on small shapes; compiled-vs-interpret
+bit-exactness on real TPU hardware is covered by tools/bench_backward_kernel
+runs. Shapes are kept tiny — interpret mode executes the unrolled kernel
+eagerly and compile time grows with n⁴·K_T.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from differentialdynamicprogramming_jl_tpu.models.pendcart import (
+    PendCartSpec, make_pendcart_problem, default_x0, pendcart_lanes,
+    pendcart_packed_derivs)
+from differentialdynamicprogramming_jl_tpu.ops.backward import backward_pass
+from differentialdynamicprogramming_jl_tpu.ops.forward import forward_pass
+from differentialdynamicprogramming_jl_tpu.ops.pallas.backward_kernel import (
+    backward_pass_pallas, pack_backward_inputs, backward_lanes)
+from differentialdynamicprogramming_jl_tpu.ops.pallas.forward_kernel import (
+    forward_lanes)
+from differentialdynamicprogramming_jl_tpu.ops.pallas.pack import (
+    to_lanes, from_lanes, vec_to_lanes)
+from differentialdynamicprogramming_jl_tpu.solvers.ilqg import default_alphas
+
+B, T = 8, 13
+DTYPE = jnp.float32
+LIMS = ((-5.0, 5.0),)
+
+
+@pytest.fixture(scope="module")
+def pend():
+    spec = PendCartSpec()
+    problem = make_pendcart_problem(spec, derivs="euler", dtype=DTYPE)
+    lims = jnp.array([[-5.0, 5.0]], DTYPE)
+    x0 = default_x0(DTYPE)
+    key = jax.random.PRNGKey(0)
+    x0s = x0[None, :] + (0.2 * jax.random.normal(key, (B, 4), DTYPE)
+                         * jnp.array([1, 0, 0, 0], DTYPE))
+    u0s = 0.4 * jax.random.normal(jax.random.PRNGKey(1), (B, T, 1), DTYPE)
+    ro = jax.vmap(lambda a, b: forward_pass(problem, a, b, lims=lims)
+                  )(x0s, u0s)
+    d = jax.vmap(problem.make_derivs())(ro.x, ro.u)
+    return spec, problem, lims, x0s, ro, d
+
+
+def _cmp(ref, out, tol=3e-4):
+    for name, a, b in (("k", ref.policy.k, out.policy.k),
+                       ("K", ref.policy.K, out.policy.K),
+                       ("Vx", ref.Vx, out.Vx),
+                       ("Vxx", ref.Vxx, out.Vxx),
+                       ("dV", ref.dV, out.dV),
+                       ("sigma", ref.policy.sigma, out.policy.sigma),
+                       ("diverged", ref.diverged, out.diverged)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=tol, atol=tol, err_msg=name)
+
+
+@pytest.mark.parametrize("reg_type,use_limits",
+                         [(1, False), (2, True)])
+def test_backward_kernel_parity(pend, reg_type, use_limits):
+    _, _, lims, _, ro, d = pend
+    lam = jnp.ones((B,), DTYPE)
+    ref = jax.vmap(lambda dd, uu, ll: backward_pass(
+        dd, uu, lam=ll, reg_type=reg_type,
+        lims=lims if use_limits else None, use_limits=use_limits)
+    )(d, ro.u, lam)
+    out = backward_pass_pallas(
+        d, ro.u, lam, reg_type=reg_type,
+        lims=np.asarray(lims) if use_limits else None,
+        use_limits=use_limits, k_t=4, interpret=True)
+    _cmp(ref, out)
+
+
+def test_backward_kernel_divergence_latch(pend):
+    _, _, _, _, ro, d = pend
+    d_bad = d._replace(cuu=-d.cuu)          # concave in u → non-PD Quu
+    lam0 = jnp.zeros((B,), DTYPE)
+    ref = jax.vmap(lambda dd, uu, ll: backward_pass(dd, uu, lam=ll,
+                                                    reg_type=1)
+                   )(d_bad, ro.u, lam0)
+    out = backward_pass_pallas(d_bad, ro.u, lam0, reg_type=1, k_t=4,
+                               interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref.diverged),
+                                  np.asarray(out.diverged))
+    np.testing.assert_array_equal(np.asarray(ref.diverge_idx),
+                                  np.asarray(out.diverge_idx))
+    assert bool(out.diverged.all())
+
+
+def test_forward_kernel_line_search_parity(pend):
+    spec, problem, lims, x0s, ro, d = pend
+    model = pendcart_lanes(spec)
+    bp = jax.vmap(lambda dd, uu: backward_pass(
+        dd, uu, lam=1.0, reg_type=2, lims=lims, use_limits=True))(d, ro.u)
+    alphas = jnp.asarray(default_alphas(0.2, -3.0, 4), DTYPE)
+    A = alphas.shape[0]
+
+    traj = to_lanes(jnp.concatenate([ro.x, ro.u], axis=-1), B)
+    gains = to_lanes(jnp.concatenate(
+        [bp.policy.k, bp.policy.K.reshape(B, T, -1)], axis=-1), B)
+    x0_l = to_lanes(x0s[:, None, :], B)[0]
+    al = jnp.broadcast_to(alphas.reshape(A, 1, 1, 1),
+                          (A,) + x0_l.shape[1:]).astype(DTYPE)
+
+    out = forward_lanes(traj, gains, x0_l, al, model=model, lims=LIMS,
+                        gk=0, gK=1, k_t=4, interpret=True)
+    tot = out.totals.reshape(A, -1)[:, :B]
+
+    ro_a = jax.vmap(lambda a: jax.vmap(
+        lambda x_i, u_i, pol: forward_pass(problem, x_i[0], u_i, x_i, a,
+                                           pol, lims)
+    )(ro.x, ro.u, bp.policy))(alphas)
+    tot_ref = jnp.sum(ro_a.cost, axis=-1)
+    np.testing.assert_allclose(np.asarray(tot_ref), np.asarray(tot),
+                               rtol=2e-5, atol=1e-4)
+
+
+def test_forward_kernel_traj_emission(pend):
+    spec, problem, lims, x0s, ro, d = pend
+    model = pendcart_lanes(spec)
+    bp = jax.vmap(lambda dd, uu: backward_pass(
+        dd, uu, lam=1.0, reg_type=2, lims=lims, use_limits=True))(d, ro.u)
+    al_b = 0.5 * jnp.ones((B,), DTYPE)
+
+    traj = to_lanes(jnp.concatenate([ro.x, ro.u], axis=-1), B)
+    gains = to_lanes(jnp.concatenate(
+        [bp.policy.k, bp.policy.K.reshape(B, T, -1)], axis=-1), B)
+    x0_l = to_lanes(x0s[:, None, :], B)[0]
+
+    out = forward_lanes(traj, gains, x0_l, vec_to_lanes(al_b)[None],
+                        model=model, lims=LIMS, gk=0, gK=1, k_t=4,
+                        emit_traj=True, interpret=True)
+    xb = from_lanes(out.traj[:, :4], B, (4,))
+    ub = from_lanes(out.traj[:, 4:5], B, (1,))
+    cb = from_lanes(out.traj[:, 5:6], B, ())
+
+    ref = jax.vmap(lambda x_i, u_i, pol, a: forward_pass(
+        problem, x_i[0], u_i, x_i, a, pol, lims)
+    )(ro.x, ro.u, bp.policy, al_b)
+    np.testing.assert_allclose(np.asarray(ref.x), np.asarray(xb),
+                               rtol=2e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ref.u), np.asarray(ub),
+                               rtol=2e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ref.cost[:, :T]), np.asarray(cb),
+                               rtol=2e-5, atol=1e-4)
+    term = out.terminal.reshape(-1)[:B]
+    np.testing.assert_allclose(np.asarray(ref.cost[:, T]), np.asarray(term),
+                               rtol=2e-5, atol=1e-4)
+
+
+def test_packed_derivs_matches_euler(pend):
+    spec, problem, _, _, ro, d = pend
+    packed = pendcart_packed_derivs(spec)
+    x_l = to_lanes(ro.x, B)
+    u_l = to_lanes(ro.u, B)
+    dp = packed(x_l, u_l)
+    ref_dp = pack_backward_inputs(d, ro.u, B)
+    # compare real lanes only: the generators differ on zero-padded lanes
+    # (pack pads the output with zeros; the analytic generator evaluates the
+    # formulas at x=0), which are discarded on unpack
+    a = np.asarray(dp).reshape(T, 47, -1)[:, :, :B]
+    b = np.asarray(ref_dp).reshape(T, 47, -1)[:, :, :B]
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
