@@ -133,13 +133,14 @@ def _make_kernel(model: LanesModel, T: int, K_T: int, A: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "lims", "gk", "gK", "emit_traj", "k_t",
-                     "interpret"))
+    static_argnames=("model", "lims", "gk", "gK", "g_slots", "emit_traj",
+                     "k_t", "interpret"))
 def forward_lanes(traj: jax.Array, gains: jax.Array, x0: jax.Array,
                   alphas: jax.Array,
                   *, model: LanesModel,
                   lims: Optional[Tuple[Tuple[float, float], ...]] = None,
                   gk: int = 0, gK: Optional[int] = None,
+                  g_slots: Optional[int] = None,
                   emit_traj: bool = False,
                   k_t: int = 8,
                   interpret: bool = False) -> ForwardLanesOut:
@@ -151,6 +152,10 @@ def forward_lanes(traj: jax.Array, gains: jax.Array, x0: jax.Array,
       compact [k, K] stream; pass the backward kernel's ``out`` directly with
       its :class:`~.backward_kernel.OutLayout` offsets).
     - ``x0``: (n, nB, 8, 128); ``alphas``: (A, nB, 8, 128).
+    - ``g_slots``: stream only the first ``g_slots`` slots of ``gains``
+      (DMA window; must cover gk/gK+m·n). Lets the backward kernel's full
+      output stream feed this kernel while only its leading gain slots cross
+      HBM. Default: all slots.
     - ``emit_traj``: write the candidate-0 trajectory stream
       (T, n+m+1, nB, 8, 128) — use with A==1 and per-scenario α for the
       accepted-step re-roll.
@@ -160,6 +165,9 @@ def forward_lanes(traj: jax.Array, gains: jax.Array, x0: jax.Array,
     A = alphas.shape[0]
     if gK is None:
         gK = m
+    if g_slots is None:
+        g_slots = gains.shape[1]
+    assert g_slots >= gK + m * n and g_slots >= gk + m
     k_t = min(k_t, T)
     kernel, Tb, T_pad, n_scratch = _make_kernel(
         model, T, k_t, A, lims, gk, gK, emit_traj)
@@ -190,7 +198,7 @@ def forward_lanes(traj: jax.Array, gains: jax.Array, x0: jax.Array,
         in_specs=[
             pl.BlockSpec((k_t, n + m, 1) + tile, fwd,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k_t, gains.shape[1], 1) + tile, fwd,
+            pl.BlockSpec((k_t, g_slots, 1) + tile, fwd,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, 1) + tile, fixedA, memory_space=pltpu.VMEM),
             pl.BlockSpec((A, 1) + tile, fixedA, memory_space=pltpu.VMEM),

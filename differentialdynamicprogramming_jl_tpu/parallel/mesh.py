@@ -94,6 +94,61 @@ def ilqg_sharded(problem: Problem, x0s: jax.Array, u0s: jax.Array,
     return solve_shard(x0s, u0s)
 
 
+def ilqg_batch_sharded(model, packed_derivs, x0s: jax.Array, u0s: jax.Array,
+                       lims=None,
+                       cfg: Optional["ILQGConfig"] = None,
+                       mesh: Optional[Mesh] = None,
+                       axis: str = "b",
+                       reduce_stats: bool = False,
+                       interpret: bool = False):
+    """Shard the **lane-layout Pallas fast path**
+    (:func:`~..solvers.batch.ilqg_batch_lanes`) over a device mesh.
+
+    Each device runs the full batched solver on its scenario shard (B/n_dev
+    scenarios, padded per-device to the 1024-lane tile); nothing crosses ICI
+    during the solve. With ``reduce_stats=True`` fleet-level scalars
+    (total cost, iterations, solved count) are ``psum``-reduced over the mesh.
+
+    ``model``: :class:`~..ops.pallas.forward_kernel.LanesModel`;
+    ``packed_derivs``: lane-layout derivative generator; ``lims``: static
+    ``((lo, hi),)*m`` or None.
+    """
+    from ..solvers.batch import ilqg_batch_lanes
+    from ..solvers.ilqg import ILQGConfig
+    if cfg is None:
+        cfg = ILQGConfig()
+    if mesh is None:
+        mesh = make_mesh(axis=axis)
+    n_dev = mesh.devices.size
+    B = x0s.shape[0]
+    assert B % n_dev == 0, f"batch {B} must divide over {n_dev} devices"
+
+    def solve_shard(x0_shard, u0_shard):
+        res = ilqg_batch_lanes(model, packed_derivs, x0_shard, u0_shard,
+                               lims=lims, cfg=cfg, interpret=interpret)
+        if not reduce_stats:
+            return res
+        stats = jnp.stack([
+            jnp.sum(res.cost_total),
+            jnp.sum(res.n_iters).astype(x0_shard.dtype),
+            jnp.sum((res.reason == 1) | (res.reason == 2)
+                    ).astype(x0_shard.dtype)])
+        return res, jax.lax.psum(stats, axis)
+
+    from ..solvers.batch import BatchILQGResult
+    res_specs = BatchILQGResult(
+        x=P(axis), u=P(axis), policy=_gp_skel()._replace(
+            K=P(axis), k=P(axis), sigma=P(axis), sigma_inv=P(axis)),
+        Vx=P(axis), Vxx=P(axis), cost=P(axis), cost_total=P(axis),
+        n_iters=P(axis), n_accepted=P(axis), reason=P(axis), lam=P(axis),
+        g_norm=P(axis))
+    out_specs = (res_specs, P()) if reduce_stats else res_specs
+    fn = jax.shard_map(solve_shard, mesh=mesh,
+                       in_specs=(P(axis), P(axis)),
+                       out_specs=out_specs, check_vma=False)
+    return fn(x0s, u0s)
+
+
 def _result_structure():
     """Abstract pytree skeleton of ILQGResult for out_specs construction."""
     return ILQGResult(x=0, u=0, policy=type(

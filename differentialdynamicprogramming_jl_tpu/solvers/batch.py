@@ -113,10 +113,10 @@ def ilqg_batch_lanes(model: LanesModel,
 
     kt = 16
 
-    def run_fwd(traj, gains, al, gk, gK, emit):
+    def run_fwd(traj, gains, al, gk, gK, emit, g_slots=None):
         return forward_lanes(traj, gains, x0_l, al, model=model, lims=lims,
-                             gk=gk, gK=gK, emit_traj=emit, k_t=kt,
-                             interpret=interpret)
+                             gk=gk, gK=gK, g_slots=g_slots, emit_traj=emit,
+                             k_t=kt, interpret=interpret)
 
     # ---- initial rollout α-sweep (src/iLQG.jl:181-210): u ← α·u0 via the
     #      trick k := u0, u_nom := 0
@@ -200,7 +200,8 @@ def ilqg_batch_lanes(model: LanesModel,
         # == STEP 3: line search, all α in one kernel pass
         #    (src/iLQG.jl:264-283)
         traj = jnp.concatenate([c.x, c.u], axis=1)
-        fa = run_fwd(traj, bo, al_all, lay.k, lay.K, False)
+        g_sl = lay.K + m * n          # stream only the gain slots of bo
+        fa = run_fwd(traj, bo, al_all, lay.k, lay.K, False, g_sl)
         dcost = c.cost_tot[None] - fa.totals                # (A, lanes)
         expected = -alphas.reshape(A, 1, 1, 1) * (
             dV1[None] + alphas.reshape(A, 1, 1, 1) * dV2[None])
@@ -211,7 +212,7 @@ def ilqg_batch_lanes(model: LanesModel,
         al_sel = jnp.where(any_ok, alphas[idx], 0.0)
         accept = any_ok & (~bp_bad) & (~grad_conv) & active
 
-        fb = run_fwd(traj, bo, al_sel[None], lay.k, lay.K, True)
+        fb = run_fwd(traj, bo, al_sel[None], lay.k, lay.K, True, g_sl)
 
         def pick(a):
             return jnp.take_along_axis(a, idx[None], axis=0)[0]
@@ -307,8 +308,10 @@ def ilqg_iteration_lanes(model: LanesModel, packed_derivs: Callable,
         bad = res.stats[2] > 0.5
         traj = jnp.concatenate([x, u], axis=1)
         al_all = jnp.broadcast_to(alphas.reshape(A, 1, 1, 1), (A,) + L)
+        g_sl = lay.K + m * n
         fa = forward_lanes(traj, bo, x0_l, al_all, model=model, lims=lims,
-                           gk=lay.k, gK=lay.K, k_t=kt, interpret=interpret)
+                           gk=lay.k, gK=lay.K, g_slots=g_sl, k_t=kt,
+                           interpret=interpret)
         dcost = cost_tot[None] - fa.totals
         expected = -alphas.reshape(A, 1, 1, 1) * (
             dV1[None] + alphas.reshape(A, 1, 1, 1) * dV2[None])
@@ -319,8 +322,8 @@ def ilqg_iteration_lanes(model: LanesModel, packed_derivs: Callable,
         al_sel = jnp.where(any_ok, alphas[idx], 0.0)
         accept = any_ok & (~bad)
         fb = forward_lanes(traj, bo, x0_l, al_sel[None], model=model,
-                           lims=lims, gk=lay.k, gK=lay.K, emit_traj=True,
-                           k_t=kt, interpret=interpret)
+                           lims=lims, gk=lay.k, gK=lay.K, g_slots=g_sl,
+                           emit_traj=True, k_t=kt, interpret=interpret)
         x_n = jnp.where(_bc(accept, x), fb.traj[:, :n], x)
         u_n = jnp.where(_bc(accept, u), fb.traj[:, n:n + m], u)
         tot_n = jnp.where(accept, fb.totals[0], cost_tot)
