@@ -47,7 +47,7 @@ def _fetch_baseline():
 
 def build():
     from differentialdynamicprogramming_jl_tpu.models.pendcart import (
-        PendCartSpec, default_x0, pendcart_lanes, pendcart_packed_derivs)
+        PendCartSpec, default_x0, pendcart_lanes, pendcart_derivs_tiles)
     from differentialdynamicprogramming_jl_tpu.ops.pallas.pack import (
         to_lanes, vec_to_lanes)
     from differentialdynamicprogramming_jl_tpu.ops.pallas.forward_kernel import (
@@ -60,7 +60,7 @@ def build():
     dtype = jnp.float32
     spec = PendCartSpec()
     model = pendcart_lanes(spec)
-    packed = pendcart_packed_derivs(spec)
+    tiles = pendcart_derivs_tiles(spec)
     lims = ((-5.0, 5.0),)
     cfg = ILQGConfig(alphas=default_alphas(0.2, -3.0, 6), reg_type=2,
                      lam_max=1e15)
@@ -80,13 +80,12 @@ def build():
     fb = forward_lanes(traj0, gains0, x0_l, jnp.ones((1,) + L, dtype),
                        model=model, lims=lims, gk=0, gK=1, emit_traj=True,
                        k_t=16)
-    x = fb.traj[:, :4]
-    u = fb.traj[:, 4:5]
     tot = fb.totals[0]
     lam = jnp.ones(L, dtype)
 
-    step = jax.jit(ilqg_iteration_lanes(model, packed, lims, cfg))
-    return step, (x, u, tot, lam)
+    step = jax.jit(ilqg_iteration_lanes(model, None, lims, cfg,
+                                        derivs_tiles=tiles))
+    return step, (fb.traj, tot, lam)
 
 
 def main():

@@ -157,6 +157,46 @@ def lti_packed_derivs(spec: LTISpec):
     return packed
 
 
+def lti_derivs_tiles(spec: LTISpec):
+    """In-kernel derivative tiles for the Pallas backward kernel (constant
+    ``A, B, Q, R`` baked as Python floats; only cx/cu vary)."""
+    import numpy as np
+    A = np.asarray(spec.A, np.float32)
+    Bm = np.asarray(spec.B, np.float32)
+    Q = np.asarray(spec.Q, np.float32)
+    R = np.asarray(spec.R, np.float32)
+    n, m = Bm.shape
+
+    def tiles(x, u, t):
+        o = jnp.ones_like(x[0])
+        z = jnp.zeros_like(o)
+
+        def const(v):
+            return float(v) * o if v != 0.0 else z
+
+        def lincomb(M, vec, size):
+            out = []
+            for i in range(M.shape[0]):
+                s = None
+                for j in range(size):
+                    if M[i, j] != 0.0:
+                        term = float(M[i, j]) * vec[j]
+                        s = term if s is None else s + term
+                out.append(s if s is not None else z)
+            return out
+
+        return dict(
+            fx=[[const(A[i, j]) for j in range(n)] for i in range(n)],
+            fu=[[const(Bm[i, j]) for j in range(m)] for i in range(n)],
+            cx=lincomb(Q, x, n),
+            cu=lincomb(R, u, m),
+            cxx=[[const(Q[i, j]) for j in range(n)] for i in range(n)],
+            cxu=[[z for _ in range(m)] for _ in range(n)],
+            cuu=[[const(R[i, j]) for j in range(m)] for i in range(m)])
+
+    return tiles
+
+
 @dataclasses.dataclass(frozen=True)
 class SimpleLTVModel:
     """Linear time-varying model for covariance propagation — equivalent of

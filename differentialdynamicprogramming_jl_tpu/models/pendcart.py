@@ -227,6 +227,38 @@ def pendcart_packed_derivs(spec: PendCartSpec = PendCartSpec()):
     return packed
 
 
+def pendcart_derivs_tiles(spec: PendCartSpec = PendCartSpec()):
+    """In-kernel derivative tiles for the Pallas backward kernel: computes
+    the analytic Euler-step Jacobians and cost expansions per timestep from
+    (x, u) lane tiles — the backward kernel then streams only the 5-slot
+    trajectory instead of the 47-slot packed derivatives."""
+    g, l, h, d = spec.g, spec.l, spec.h, spec.d
+    Q = tuple(float(q) for q in spec.Q)
+    R = float(spec.R)
+    goal = tuple(float(v) for v in spec.goal)
+
+    def tiles(x, u, t):
+        th = x[0]
+        u0 = u[0]
+        z = jnp.zeros_like(th)
+        o = jnp.ones_like(th)
+        a21 = h * (-g / l * jnp.cos(th) - u0 / l * jnp.sin(th))
+        fx = [[o, h * o, z, z],
+              [a21, (1.0 - h * d) * o, z, z],
+              [z, z, o, h * o],
+              [z, z, z, o]]
+        fu = [[z], [h * jnp.cos(th) / l], [z], [h * o]]
+        cx = [Q[i] * (x[i] - goal[i]) for i in range(4)]
+        cu = [R * u0]
+        cxx = [[Q[i] * o if i == j else z for j in range(4)]
+               for i in range(4)]
+        cxu = [[z] for _ in range(4)]
+        cuu = [[R * o]]
+        return dict(fx=fx, fu=fu, cx=cx, cu=cu, cxx=cxx, cxu=cxu, cuu=cuu)
+
+    return tiles
+
+
 def default_lims(dtype=jnp.float32) -> jax.Array:
     """±5 control limits (src/system_pendcart.jl:45)."""
     return jnp.array([[-5.0, 5.0]], dtype)

@@ -199,7 +199,8 @@ def _boxqp_m2(Q, g, lo, hi):
 # ---------------------------------------------------------------------------
 
 def _make_kernel(n: int, m: int, T: int, K_T: int, reg_type: int,
-                 lims: Optional[Tuple[Tuple[float, float], ...]]):
+                 lims: Optional[Tuple[Tuple[float, float], ...]],
+                 derivs_tiles=None, gps: bool = False):
     lay = InLayout(n, m)
     out = OutLayout(n, m)
     use_limits = lims is not None
@@ -215,30 +216,79 @@ def _make_kernel(n: int, m: int, T: int, K_T: int, reg_type: int,
     SDIVT = SDIV + 1
     n_scratch = SDIVT + 1
 
-    def substep(kk, t_log, dp, o_ref, lam, scr, boundary: bool):
-        """One timestep. ``kk`` static sub-index in the block; ``t_log``
-        traced logical timestep; ``boundary`` selects the t=T-1 init."""
-        zero = jnp.zeros((SUBLANES, LANES), jnp.float32)
+    def read_derivs(kk, t_log, dp):
+        """Per-step derivative tiles: either sliced from the packed stream
+        or computed in-register from (x, u) by the model's ``derivs_tiles``
+        (saving ~90% of the backward input HBM traffic)."""
 
         def mat(off, r, c):
             return [[dp(kk, off + i * c + j) for j in range(c)]
                     for i in range(r)]
 
+        if derivs_tiles is None:
+            return dict(
+                fx=mat(lay.fx, n, n), fu=mat(lay.fu, n, m),
+                cx=[dp(kk, lay.cx + i) for i in range(n)],
+                cu=[dp(kk, lay.cu + mi) for mi in range(m)],
+                cxx=mat(lay.cxx, n, n), cxu=mat(lay.cxu, n, m),
+                cuu=mat(lay.cuu, m, m),
+                u=[dp(kk, lay.u + mi) for mi in range(m)])
+        x_t = [dp(kk, i) for i in range(n)]
+        u_t = [dp(kk, n + mi) for mi in range(m)]
+        d = derivs_tiles(x_t, u_t, t_log)
+        d["u"] = u_t
+        return d
+
+    def read_kl(kk, prev_ref, eta_ref):
+        """GPS mode: η dual tile + KL cost-expansion tiles computed from the
+        previous-policy stream [k_prev(m), K_prev(m·n), Σ⁻¹_prev(m²)]
+        (``∇kl``, ``src/klutils.jl:8-23``)."""
+        eta = eta_ref[kk, 0, 0]
+        kp = [prev_ref[kk, mi, 0] for mi in range(m)]
+        Kp = [[prev_ref[kk, m + mi * n + j, 0] for j in range(n)]
+              for mi in range(m)]
+        Si = [[prev_ref[kk, m + m * n + mi * m + mj, 0] for mj in range(m)]
+              for mi in range(m)]
+        Sik = [sum(Si[mi][mj] * kp[mj] for mj in range(m))
+               for mi in range(m)]
+        SiK = [[sum(Si[mi][mj] * Kp[mj][j] for mj in range(m))
+                for j in range(n)] for mi in range(m)]
+        return dict(
+            eta=eta,
+            cx=[sum(Kp[mi][i] * Sik[mi] for mi in range(m))
+                for i in range(n)],
+            cu=[-Sik[mi] for mi in range(m)],
+            cxx=[[sum(Kp[mi][i] * SiK[mi][j] for mi in range(m))
+                  for j in range(n)] for i in range(n)],
+            cxu=[[-SiK[mi][j] for j in range(n)] for mi in range(m)],
+            cuu=Si)
+
+    def substep(kk, t_log, dp, o_ref, lam, scr, boundary: bool, kl=None):
+        """One timestep. ``kk`` static sub-index in the block; ``t_log``
+        traced logical timestep; ``boundary`` selects the t=T-1 init."""
+        zero = jnp.zeros((SUBLANES, LANES), jnp.float32)
+        d = read_derivs(kk, t_log, dp)
+
         if boundary:
-            # boundary t = T-1 (src/backward_pass.jl:97-99)
+            # boundary t = T-1 (src/backward_pass.jl:97-99, 280-283)
             for i in range(n):
-                cxi = dp(kk, lay.cx + i)
+                cxi = d["cx"][i]
                 scr[SVX + i] = cxi
                 o_ref[kk, out.Vx + i, 0] = cxi
-            for i in range(n * n):
-                v = dp(kk, lay.cxx + i)
-                scr[SVXX + i] = v
-                o_ref[kk, out.Vxx + i, 0] = v
+            for i in range(n):
+                for j in range(n):
+                    v = d["cxx"][i][j]
+                    scr[SVXX + i * n + j] = v
+                    o_ref[kk, out.Vxx + i * n + j, 0] = v
             for mi in range(m):
                 o_ref[kk, out.k + mi, 0] = zero
                 for j in range(n):
                     o_ref[kk, out.K + mi * n + j, 0] = zero
-            cuu = mat(lay.cuu, m, m)
+            if gps:
+                cuu = [[d["cuu"][mi][mj] / kl["eta"] + kl["cuu"][mi][mj]
+                        for mj in range(m)] for mi in range(m)]
+            else:
+                cuu = d["cuu"]
             cuu_inv, _ok = _tiny_inv(cuu, m)
             for mi in range(m):
                 for mj in range(m):
@@ -254,14 +304,10 @@ def _make_kernel(n: int, m: int, T: int, K_T: int, reg_type: int,
 
         Vx = [scr[SVX + i] for i in range(n)]
         Vxx = [[scr[SVXX + i * n + j] for j in range(n)] for i in range(n)]
-        fx = mat(lay.fx, n, n)
-        fu = mat(lay.fu, n, m)
-        cx = [dp(kk, lay.cx + i) for i in range(n)]
-        cu = [dp(kk, lay.cu + mi) for mi in range(m)]
-        cxx = mat(lay.cxx, n, n)
-        cxu = mat(lay.cxu, n, m)        # (n, m)
-        cuu = mat(lay.cuu, m, m)
-        u_t = [dp(kk, lay.u + mi) for mi in range(m)]
+        fx, fu = d["fx"], d["fu"]
+        cx, cu = d["cx"], d["cu"]
+        cxx, cxu, cuu = d["cxx"], d["cxu"], d["cuu"]   # cxu: (n, m)
+        u_t = d["u"]
 
         # Q expansions (src/backward_pass.jl:103-123)
         Qx = [cx[i] + sum(fx[a][i] * Vx[a] for a in range(n))
@@ -279,8 +325,23 @@ def _make_kernel(n: int, m: int, T: int, K_T: int, reg_type: int,
         Qux = [[cxu[j][mi] + sum(fu[a][mi] * W[a][j] for a in range(n))
                 for j in range(n)] for mi in range(m)]
 
+        if gps:
+            # GPS mode: η is the only regularizer; Q terms scaled by 1/η and
+            # augmented with the KL expansion (src/backward_pass.jl:293-299)
+            ie = 1.0 / kl["eta"]
+            Qx = [Qx[i] * ie + kl["cx"][i] for i in range(n)]
+            Qu = [Qu[mi] * ie + kl["cu"][mi] for mi in range(m)]
+            Qxx = [[Qxx[i][j] * ie + kl["cxx"][i][j] for j in range(n)]
+                   for i in range(n)]
+            Qux = [[Qux[mi][j] * ie + kl["cxu"][mi][j] for j in range(n)]
+                   for mi in range(m)]
+            Quu_g = [[Quu[mi][mj] * ie + kl["cuu"][mi][mj]
+                      for mj in range(m)] for mi in range(m)]
+            Quu = [[0.5 * (Quu_g[mi][mj] + Quu_g[mj][mi])
+                    for mj in range(m)] for mi in range(m)]
+            Qux_r, QuuF = Qux, Quu
         # regularized gain matrices (src/backward_pass.jl:119-123)
-        if reg_type == 2:
+        elif reg_type == 2:
             fuTfx = [[sum(fu[a][mi] * fx[a][j] for a in range(n))
                       for j in range(n)] for mi in range(m)]
             fuTfu = [[sum(fu[a][mi] * fu[a][mj] for a in range(n))
@@ -403,7 +464,12 @@ def _make_kernel(n: int, m: int, T: int, K_T: int, reg_type: int,
         scr[SDIV] = div
         scr[SDIVT] = divt
 
-    def kernel(dp_ref, lam_ref, o_ref, stat_ref, scr):
+    def kernel(*refs):
+        if gps:
+            dp_ref, lam_ref, prev_ref, eta_ref, o_ref, stat_ref, scr = refs
+        else:
+            dp_ref, lam_ref, o_ref, stat_ref, scr = refs
+            prev_ref = eta_ref = None
         g = pl.program_id(1)
         lam = lam_ref[0]
         blk = (Tb - 1) - g                  # time-block index (traced)
@@ -414,16 +480,20 @@ def _make_kernel(n: int, m: int, T: int, K_T: int, reg_type: int,
         # sub-steps run in reverse time order: kk = K_T-1 .. 0
         for kk in reversed(range(K_T)):
             t_log = blk * K_T + kk - pad
+            kl = read_kl(kk, prev_ref, eta_ref) if gps else None
             if kk == K_T - 1:
                 @pl.when(g == 0)
                 def _():
-                    substep(kk, t_log, dp, o_ref, lam, scr, boundary=True)
+                    substep(kk, t_log, dp, o_ref, lam, scr, boundary=True,
+                            kl=kl)
 
                 @pl.when(g > 0)
                 def _():
-                    substep(kk, t_log, dp, o_ref, lam, scr, boundary=False)
+                    substep(kk, t_log, dp, o_ref, lam, scr, boundary=False,
+                            kl=kl)
             else:
-                substep(kk, t_log, dp, o_ref, lam, scr, boundary=False)
+                substep(kk, t_log, dp, o_ref, lam, scr, boundary=False,
+                        kl=kl)
 
         stat_ref[0, 0] = scr[SDV1]
         stat_ref[1, 0] = scr[SDV2]
@@ -453,27 +523,62 @@ def pack_backward_inputs(derivs: Derivs, u: jax.Array, B: int) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n", "m", "reg_type", "lims", "k_t", "interpret"))
+    static_argnames=("n", "m", "reg_type", "lims", "k_t", "derivs_tiles",
+                     "interpret"))
 def backward_lanes(dp: jax.Array, lam: jax.Array,
                    *, n: int, m: int, reg_type: int = 1,
                    lims: Optional[Tuple[Tuple[float, float], ...]] = None,
                    k_t: int = 8,
+                   derivs_tiles=None,
+                   prev: Optional[jax.Array] = None,
+                   eta: Optional[jax.Array] = None,
                    interpret: bool = False) -> BackwardLanesOut:
-    """Run the backward kernel on a packed lane-layout input stream.
+    """Run the backward kernel on a lane-layout input stream.
 
-    ``dp``: (T, D+m, nB, 8, 128) from :func:`pack_backward_inputs`;
+    Two input modes:
+    - ``derivs_tiles=None``: ``dp`` is the packed derivative stream
+      (T, D+m, nB, 8, 128) from :func:`pack_backward_inputs`.
+    - ``derivs_tiles=fn``: ``dp`` is a trajectory stream with x in slots
+      [0, n) and u in [n, n+m) (extra slots ignored); derivatives are
+      computed in-register per step by ``fn(x_tiles, u_tiles, t) → dict``
+      with keys fx/fu/cx/cu/cxx/cxu/cuu (lists of (8, 128) tiles; cxu is
+      (n, m)). This cuts the input HBM traffic ~9×.
+
     ``lam``: per-scenario λ (nB, 8, 128). ``lims``: static ((lo, hi),)*m or
-    None. ``k_t``: timesteps per grid step. Returns lane-layout outputs.
+    None. ``k_t``: timesteps per grid step.
+
+    GPS mode (reference ``back_pass_gps``, ``src/backward_pass.jl:259-350``)
+    activates when ``prev``/``eta`` are given: ``prev`` is the
+    previous-policy stream (T, m + m·n + m², nB, 8, 128) holding
+    [k_prev, K_prev, Σ⁻¹_prev] and ``eta`` the per-timestep per-scenario
+    dual (T, 1, nB, 8, 128); λ is then unused (``src/iLQGkl.jl:99``).
+
+    Returns lane-layout outputs.
     """
     T, DU, nB = dp.shape[0], dp.shape[1], dp.shape[2]
+    gps = prev is not None
+    assert gps == (eta is not None)
     lay = InLayout(n, m)
-    assert DU == lay.DU, f"packed D={DU} != layout D={lay.DU}"
+    if derivs_tiles is None:
+        assert DU == lay.DU, f"packed D={DU} != layout D={lay.DU}"
+        in_slots = lay.DU
+    else:
+        assert DU >= n + m, f"traj stream needs >= n+m slots, got {DU}"
+        in_slots = n + m
     assert T >= 2
     k_t = min(k_t, T)
-    kernel, n_scratch, Tb, pad = _make_kernel(n, m, T, k_t, reg_type, lims)
+    kernel, n_scratch, Tb, pad = _make_kernel(n, m, T, k_t, reg_type, lims,
+                                              derivs_tiles, gps)
     if pad:
-        dp = jnp.concatenate(
-            [jnp.zeros((pad,) + dp.shape[1:], dp.dtype), dp], axis=0)
+        zfront = lambda a: jnp.concatenate(
+            [jnp.zeros((pad,) + a.shape[1:], a.dtype), a], axis=0)
+        dp = zfront(dp)
+        if gps:
+            prev = zfront(prev)
+            eta = zfront(eta)
+    if gps:
+        # guard against 1/0 on zero-padded lanes/steps (results masked away)
+        eta = jnp.where(eta == 0, 1.0, eta)
 
     tile = (SUBLANES, LANES)
     f32 = jnp.float32
@@ -482,14 +587,25 @@ def backward_lanes(dp: jax.Array, lam: jax.Array,
     def rev(bt, g):
         return (Tb - 1 - g, 0, bt, 0, 0)
 
+    in_specs = [
+        pl.BlockSpec((k_t, in_slots, 1) + tile, rev,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1,) + tile, lambda bt, g: (bt, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [dp, lam]
+    if gps:
+        in_specs += [
+            pl.BlockSpec((k_t, m + m * n + m * m, 1) + tile, rev,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_t, 1, 1) + tile, rev, memory_space=pltpu.VMEM),
+        ]
+        inputs += [prev, eta]
+
     out = pl.pallas_call(
         kernel,
         grid=(nB, Tb),
-        in_specs=[
-            pl.BlockSpec((k_t, DU, 1) + tile, rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,) + tile, lambda bt, g: (bt, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_shape=(
             jax.ShapeDtypeStruct((Tb * k_t, S, nB) + tile, f32),
             jax.ShapeDtypeStruct((4, nB) + tile, f32),
@@ -501,7 +617,7 @@ def backward_lanes(dp: jax.Array, lam: jax.Array,
         ),
         scratch_shapes=[pltpu.VMEM((n_scratch,) + tile, f32)],
         interpret=interpret,
-    )(dp, lam)
+    )(*inputs)
     o, stats = out
     return BackwardLanesOut(out=o[pad:], stats=stats)
 
@@ -511,12 +627,15 @@ def backward_pass_pallas(derivs: Derivs, u: jax.Array, lam: jax.Array,
                          lims=None,
                          use_limits: bool = False,
                          k_t: int = 8,
+                         eta=None,
+                         traj_prev: Optional[GaussianPolicy] = None,
                          interpret: bool = False) -> BackwardOut:
     """Batch-major convenience wrapper (parity interface with
     ``ops.backward.backward_pass`` vmapped over B).
 
     ``derivs``: (B, T, ...) leaves; ``u``: (B, T, m); ``lam``: (B,).
-    Packs to lane layout, runs the kernel, unpacks to (B, T, ...).
+    GPS mode: pass ``traj_prev`` (leaves (B, T, ...)) and ``eta`` of shape
+    (B,) or (B, T). Packs to lane layout, runs the kernel, unpacks.
     """
     B, T, m = u.shape
     n = derivs.cx.shape[-1]
@@ -527,10 +646,24 @@ def backward_pass_pallas(derivs: Derivs, u: jax.Array, lam: jax.Array,
         lims_np = np.asarray(lims, np.float32)
         lims_t = tuple((float(lo), float(hi)) for lo, hi in lims_np)
 
+    prev_l = eta_l = None
+    if traj_prev is not None:
+        f32 = jnp.float32
+        prev_l = to_lanes(jnp.concatenate(
+            [traj_prev.k.astype(f32),
+             traj_prev.K.astype(f32).reshape(B, T, -1),
+             traj_prev.sigma_inv.astype(f32).reshape(B, T, -1)],
+            axis=-1), B)
+        eta = jnp.asarray(eta, f32)
+        if eta.ndim == 1:
+            eta = jnp.broadcast_to(eta[:, None], (B, T))
+        eta_l = to_lanes(eta[:, :, None], B)
+
     dp = pack_backward_inputs(derivs, u, B)
     res = backward_lanes(dp, vec_to_lanes(lam.astype(jnp.float32)),
                          n=n, m=m, reg_type=reg_type, lims=lims_t,
-                         k_t=k_t, interpret=interpret)
+                         k_t=k_t, prev=prev_l, eta=eta_l,
+                         interpret=interpret)
     lay = OutLayout(n, m)
     o = res.out
 

@@ -5,14 +5,18 @@ thousands of scenarios at once with **all per-timestep data in lane layout**
 (batch on the VPU lanes, see ``ops/pallas/pack.py``), chaining the Pallas
 backward kernel and forward/line-search kernel with zero transposes:
 
-    packed derivatives  →  backward kernel  →  phase-A line search (totals)
-         ↑                                          ↓ pick α per scenario
-    accepted trajectory  ←  phase-B re-roll (trajectory stream)
+    trajectory stream  →  backward kernel (derivatives computed in-register)
+         ↑                      ↓ gains stream
+    phase-B re-roll  ←  phase-A line search (per-α totals → pick α/scenario)
+
+The loop state is ONE trajectory stream (T, n+m+1, nB, 8, 128) holding
+[x, u, running cost] — both kernels read partial slot windows of it, and the
+phase-B forward kernel emits the next iterate in exactly this format.
 
 Control flow (λ retry, accept/reject, per-scenario termination) is
 elementwise on (nB, 8, 128) lane masks inside one ``lax.while_loop`` — the
 reference's per-problem while loops run in lock-step with per-lane masking,
-exactly the semantics of ``solvers/ilqg.py`` vmapped, but ~50-100× faster on
+exactly the semantics of ``solvers/ilqg.py`` vmapped, but ~100× faster on
 TPU at reference problem sizes.
 
 Restrictions of this fast path (the generic ``ilqg``/``ilqg_batched`` XLA
@@ -21,7 +25,6 @@ control limits only for m ≤ 2, no GPS/KL mode, no per-iteration trace.
 """
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import Callable, NamedTuple, Optional, Tuple
 
@@ -30,11 +33,10 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..policy import GaussianPolicy
-from ..ops.pallas.pack import (B_TILE, LANES, SUBLANES, to_lanes, from_lanes,
-                               vec_to_lanes, vec_from_lanes, padded_batch)
-from ..ops.pallas.backward_kernel import (InLayout, OutLayout, backward_lanes)
+from ..ops.pallas.pack import to_lanes, from_lanes, vec_from_lanes
+from ..ops.pallas.backward_kernel import OutLayout, backward_lanes
 from ..ops.pallas.forward_kernel import LanesModel, forward_lanes
-from .ilqg import ILQGConfig, default_alphas
+from .ilqg import ILQGConfig
 
 
 class BatchILQGResult(NamedTuple):
@@ -55,10 +57,8 @@ class BatchILQGResult(NamedTuple):
 
 
 class _Carry(NamedTuple):
-    x: jax.Array          # (T, n, nB, 8, 128)
-    u: jax.Array          # (T, m, nB, 8, 128)
-    c_run: jax.Array      # (T, nB, 8, 128)
-    cost_tot: jax.Array   # (nB, 8, 128)
+    traj: jax.Array       # (T, n+m+1, nB, 8, 128): x, u, running cost
+    cost_tot: jax.Array   # (nB, 8, 128) incl. terminal
     lam: jax.Array        # (nB, 8, 128)
     dlam: jax.Array
     bo: jax.Array         # (T, S, nB, 8, 128) backward out stream
@@ -78,23 +78,29 @@ def _bc(mask, arr):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "packed_derivs", "lims", "cfg", "interpret"))
+    static_argnames=("model", "packed_derivs", "derivs_tiles", "lims", "cfg",
+                     "kt_backward", "kt_forward", "interpret"))
 def ilqg_batch_lanes(model: LanesModel,
-                     packed_derivs: Callable,
+                     packed_derivs: Optional[Callable],
                      x0s: jax.Array,
                      u0s: jax.Array,
                      lims: Optional[Tuple[Tuple[float, float], ...]] = None,
                      cfg: ILQGConfig = ILQGConfig(),
+                     derivs_tiles: Optional[Callable] = None,
+                     kt_backward: int = 25,
+                     kt_forward: int = 10,
                      interpret: bool = False) -> BatchILQGResult:
     """Solve B independent iLQG problems (reference semantics of
     ``src/iLQG.jl:143-341`` per scenario).
 
     - ``model``: :class:`LanesModel` (dynamics/cost on lane tiles).
-    - ``packed_derivs``: ``(x_lanes, u_lanes) → (T, D+m, nB, 8, 128)`` packed
-      derivative stream (see ``models/*.py`` generators).
+    - ``derivs_tiles``: in-kernel derivative function (preferred — the
+      backward kernel streams only the trajectory); or
+      ``packed_derivs``: ``(x_lanes, u_lanes) → (T, D+m, ...)`` stream.
     - ``x0s``: (B, n) initial states; ``u0s``: (B, T, m) initial controls.
     - ``lims``: static ``((lo, hi),) * m`` or None.
     """
+    assert derivs_tiles is not None or packed_derivs is not None
     n, m = model.n, model.m
     B, T = u0s.shape[0], u0s.shape[1]
     f32 = jnp.float32
@@ -110,13 +116,18 @@ def ilqg_batch_lanes(model: LanesModel,
     alphas = jnp.asarray(cfg.alphas, f32)
     A = alphas.shape[0]
     al_all = jnp.broadcast_to(alphas.reshape(A, 1, 1, 1), (A,) + L)
-
-    kt = 16
+    g_sl = lay.K + m * n          # gains window of the backward out stream
 
     def run_fwd(traj, gains, al, gk, gK, emit, g_slots=None):
         return forward_lanes(traj, gains, x0_l, al, model=model, lims=lims,
                              gk=gk, gK=gK, g_slots=g_slots, emit_traj=emit,
-                             k_t=kt, interpret=interpret)
+                             k_t=kt_forward, interpret=interpret)
+
+    def run_bwd(traj_or_dp, lam):
+        return backward_lanes(traj_or_dp, lam, n=n, m=m,
+                              reg_type=cfg.reg_type, lims=lims,
+                              k_t=kt_backward, derivs_tiles=derivs_tiles,
+                              interpret=interpret)
 
     # ---- initial rollout α-sweep (src/iLQG.jl:181-210): u ← α·u0 via the
     #      trick k := u0, u_nom := 0
@@ -130,13 +141,8 @@ def ilqg_batch_lanes(model: LanesModel,
     al_init = jnp.where(any0, alphas[idx0], 0.0)
     fb0 = run_fwd(traj0, gains0, al_init[None], 0, m, True)
 
-    x_init = fb0.traj[:, :n]
-    u_init = fb0.traj[:, n:n + m]
-    c_init = fb0.traj[:, n + m]
-    tot_init = fb0.totals[0]
-
     carry0 = _Carry(
-        x=x_init, u=u_init, c_run=c_init, cost_tot=tot_init,
+        traj=fb0.traj, cost_tot=fb0.totals[0],
         lam=cfg.lam * ones, dlam=cfg.dlam * ones,
         bo=jnp.zeros((T, lay.S) + L, f32),
         done=~any0,
@@ -146,26 +152,20 @@ def ilqg_batch_lanes(model: LanesModel,
         it_lane=jnp.zeros(L, jnp.int32),
         g_norm=zeros)
 
-    lims_s = lims  # static
-
-    def run_bwd(dp, lam):
-        return backward_lanes(dp, lam, n=n, m=m, reg_type=cfg.reg_type,
-                              lims=lims_s, k_t=kt, interpret=interpret)
-
     def loop_cond(c: _Carry):
         return (~jnp.all(c.done)) & (c.it < cap)
 
     def loop_body(c: _Carry) -> _Carry:
         active = ~c.done
+        u_cur = c.traj[:, n:n + m]
 
-        # == STEP 1: derivatives (recomputing unchanged trajectories is
-        #    bitwise identical to the reference's flg_change caching,
-        #    src/iLQG.jl:226-229)
-        dp = packed_derivs(c.x, c.u)
-
-        # == STEP 2: backward pass with per-scenario λ retry
-        #    (src/iLQG.jl:234-251)
-        res0 = run_bwd(dp, c.lam)
+        # == STEP 1+2: derivatives + backward pass with per-scenario λ retry
+        #    (src/iLQG.jl:226-251). Recomputing derivatives of unchanged
+        #    trajectories is bitwise identical to the reference's flg_change
+        #    caching.
+        bwd_in = c.traj if derivs_tiles is not None else packed_derivs(
+            c.traj[:, :n], u_cur)
+        res0 = run_bwd(bwd_in, c.lam)
 
         def retry_cond(s):
             _res, lam_, _dlam, aborted = s
@@ -180,7 +180,7 @@ def ilqg_batch_lanes(model: LanesModel,
             dlam_n = jnp.where(div, jnp.maximum(dlam_ * cfg.lam_factor,
                                                 cfg.lam_factor), dlam_)
             aborted_n = aborted | (div & (lam_n > cfg.lam_max))
-            res_n = run_bwd(dp, lam_n)
+            res_n = run_bwd(bwd_in, lam_n)
             return (res_n, lam_n, dlam_n, aborted_n)
 
         res, lam, dlam, bp_aborted = lax.while_loop(
@@ -188,20 +188,17 @@ def ilqg_batch_lanes(model: LanesModel,
             (res0, c.lam, c.dlam, jnp.zeros(L, bool)))
         bo = res.out
         dV1, dV2 = res.stats[0], res.stats[1]
-        still_div = res.stats[2] > 0.5
-        bp_bad = bp_aborted | still_div
+        bp_bad = bp_aborted | (res.stats[2] > 0.5)
 
         # gradient-norm termination (src/iLQG.jl:256-261)
         k_s = bo[:, lay.k:lay.k + m]                        # (T, m, ...)
         g_norm = jnp.mean(jnp.max(
-            jnp.abs(k_s) / (jnp.abs(c.u) + 1.0), axis=1), axis=0)
+            jnp.abs(k_s) / (jnp.abs(u_cur) + 1.0), axis=1), axis=0)
         grad_conv = (g_norm < cfg.tol_grad) & (lam < 1e-5) & (~bp_bad)
 
         # == STEP 3: line search, all α in one kernel pass
         #    (src/iLQG.jl:264-283)
-        traj = jnp.concatenate([c.x, c.u], axis=1)
-        g_sl = lay.K + m * n          # stream only the gain slots of bo
-        fa = run_fwd(traj, bo, al_all, lay.k, lay.K, False, g_sl)
+        fa = run_fwd(c.traj, bo, al_all, lay.k, lay.K, False, g_sl)
         dcost = c.cost_tot[None] - fa.totals                # (A, lanes)
         expected = -alphas.reshape(A, 1, 1, 1) * (
             dV1[None] + alphas.reshape(A, 1, 1, 1) * dV2[None])
@@ -212,12 +209,9 @@ def ilqg_batch_lanes(model: LanesModel,
         al_sel = jnp.where(any_ok, alphas[idx], 0.0)
         accept = any_ok & (~bp_bad) & (~grad_conv) & active
 
-        fb = run_fwd(traj, bo, al_sel[None], lay.k, lay.K, True, g_sl)
+        fb = run_fwd(c.traj, bo, al_sel[None], lay.k, lay.K, True, g_sl)
 
-        def pick(a):
-            return jnp.take_along_axis(a, idx[None], axis=0)[0]
-
-        dcost_sel = pick(dcost)
+        dcost_sel = jnp.take_along_axis(dcost, idx[None], axis=0)[0]
 
         # == STEP 4: accept / reject λ update (src/iLQG.jl:293-323)
         dlam_acc = jnp.minimum(dlam / cfg.lam_factor, 1.0 / cfg.lam_factor)
@@ -228,7 +222,8 @@ def ilqg_batch_lanes(model: LanesModel,
         dlam_n = jnp.where(accept, dlam_acc, dlam_rej)
 
         cost_conv = accept & (dcost_sel < cfg.tol_fun)
-        lam_exceeded = active & (~accept) & (~grad_conv) & (lam_n > cfg.lam_max)
+        lam_exceeded = (active & (~accept) & (~grad_conv)
+                        & (lam_n > cfg.lam_max))
 
         # on gradient convergence the reference breaks before the λ update
         lam_n = jnp.where(grad_conv, lam, lam_n)
@@ -239,18 +234,15 @@ def ilqg_batch_lanes(model: LanesModel,
             grad_conv, 1, jnp.where(cost_conv, 2, 3)).astype(jnp.int32)
         reason = jnp.where(newly_done, reason_new, c.reason)
 
-        upd = accept
-        x_n = jnp.where(_bc(upd, c.x), fb.traj[:, :n], c.x)
-        u_n = jnp.where(_bc(upd, c.u), fb.traj[:, n:n + m], c.u)
-        c_run_n = jnp.where(_bc(upd, c.c_run), fb.traj[:, n + m], c.c_run)
-        tot_n = jnp.where(upd, fb.totals[0], c.cost_tot)
+        traj_n = jnp.where(_bc(accept, c.traj), fb.traj, c.traj)
+        tot_n = jnp.where(accept, fb.totals[0], c.cost_tot)
         bo_n = jnp.where(_bc(active, bo), bo, c.bo)
 
         accepted = c.accepted + accept.astype(jnp.int32)
         done = c.done | newly_done | (accepted > cfg.max_iter)
 
         return _Carry(
-            x=x_n, u=u_n, c_run=c_run_n, cost_tot=tot_n,
+            traj=traj_n, cost_tot=tot_n,
             lam=jnp.where(active, lam_n, c.lam),
             dlam=jnp.where(active, dlam_n, c.dlam),
             bo=bo_n, done=done, reason=reason,
@@ -263,9 +255,9 @@ def ilqg_batch_lanes(model: LanesModel,
                        4, c.reason).astype(jnp.int32)
 
     # ---- unpack to batch-major
-    x = from_lanes(c.x, B, (n,))
-    u = from_lanes(c.u, B, (m,))
-    cost = from_lanes(c.c_run[:, None], B, ())
+    x = from_lanes(c.traj[:, :n], B, (n,))
+    u = from_lanes(c.traj[:, n:n + m], B, (m,))
+    cost = from_lanes(c.traj[:, n + m:n + m + 1], B, ())
     K = from_lanes(c.bo[:, lay.K:lay.K + m * n], B, (m, n))
     sigma = from_lanes(c.bo[:, lay.quui:lay.quui + m * m], B, (m, m))
     sigma_inv = from_lanes(c.bo[:, lay.quu:lay.quu + m * m], B, (m, m))
@@ -285,32 +277,38 @@ def ilqg_batch_lanes(model: LanesModel,
     )
 
 
-def ilqg_iteration_lanes(model: LanesModel, packed_derivs: Callable,
-                         lims, cfg: ILQGConfig, interpret: bool = False):
+def ilqg_iteration_lanes(model: LanesModel,
+                         packed_derivs: Optional[Callable],
+                         lims, cfg: ILQGConfig,
+                         derivs_tiles: Optional[Callable] = None,
+                         kt_backward: int = 25,
+                         kt_forward: int = 10,
+                         interpret: bool = False):
     """Build a jittable single-iteration step function on lane-layout state
     — the per-step hot path of an MPC loop (and of ``bench.py``). Returns
-    ``step(x, u, cost_tot, lam) -> (x, u, cost_tot, lam)`` with
-    lane-layout args ((T, n, nB, 8, 128), ...)."""
+    ``step(traj, cost_tot, lam) -> (traj, cost_tot, lam)`` where ``traj`` is
+    the (T, n+m+1, nB, 8, 128) trajectory stream."""
+    assert derivs_tiles is not None or packed_derivs is not None
     n, m = model.n, model.m
     lay = OutLayout(n, m)
     alphas = jnp.asarray(cfg.alphas, jnp.float32)
     A = alphas.shape[0]
-    kt = 16
+    g_sl = lay.K + m * n
 
-    def step(x, u, cost_tot, lam):
-        L = x.shape[2:]
-        x0_l = x[0]
-        dp = packed_derivs(x, u)
-        res = backward_lanes(dp, lam, n=n, m=m, reg_type=cfg.reg_type,
-                             lims=lims, k_t=kt, interpret=interpret)
+    def step(traj, cost_tot, lam):
+        L = traj.shape[2:]
+        x0_l = traj[0, :n]
+        bwd_in = traj if derivs_tiles is not None else packed_derivs(
+            traj[:, :n], traj[:, n:n + m])
+        res = backward_lanes(bwd_in, lam, n=n, m=m, reg_type=cfg.reg_type,
+                             lims=lims, k_t=kt_backward,
+                             derivs_tiles=derivs_tiles, interpret=interpret)
         bo = res.out
         dV1, dV2 = res.stats[0], res.stats[1]
         bad = res.stats[2] > 0.5
-        traj = jnp.concatenate([x, u], axis=1)
         al_all = jnp.broadcast_to(alphas.reshape(A, 1, 1, 1), (A,) + L)
-        g_sl = lay.K + m * n
         fa = forward_lanes(traj, bo, x0_l, al_all, model=model, lims=lims,
-                           gk=lay.k, gK=lay.K, g_slots=g_sl, k_t=kt,
+                           gk=lay.k, gK=lay.K, g_slots=g_sl, k_t=kt_forward,
                            interpret=interpret)
         dcost = cost_tot[None] - fa.totals
         expected = -alphas.reshape(A, 1, 1, 1) * (
@@ -323,12 +321,12 @@ def ilqg_iteration_lanes(model: LanesModel, packed_derivs: Callable,
         accept = any_ok & (~bad)
         fb = forward_lanes(traj, bo, x0_l, al_sel[None], model=model,
                            lims=lims, gk=lay.k, gK=lay.K, g_slots=g_sl,
-                           emit_traj=True, k_t=kt, interpret=interpret)
-        x_n = jnp.where(_bc(accept, x), fb.traj[:, :n], x)
-        u_n = jnp.where(_bc(accept, u), fb.traj[:, n:n + m], u)
+                           emit_traj=True, k_t=kt_forward,
+                           interpret=interpret)
+        traj_n = jnp.where(_bc(accept, traj), fb.traj, traj)
         tot_n = jnp.where(accept, fb.totals[0], cost_tot)
         lam_n = jnp.where(accept, jnp.maximum(lam / cfg.lam_factor, 1e-6),
                           jnp.minimum(lam * cfg.lam_factor, cfg.lam_max))
-        return x_n, u_n, tot_n, lam_n
+        return traj_n, tot_n, lam_n
 
     return step

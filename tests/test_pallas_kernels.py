@@ -152,6 +152,60 @@ def test_forward_kernel_traj_emission(pend):
                                rtol=2e-5, atol=1e-4)
 
 
+@pytest.mark.parametrize("use_limits", [False, True])
+def test_backward_kernel_gps_mode(pend, use_limits):
+    """GPS/KL-augmented recursion (reference ``back_pass_gps``,
+    ``src/backward_pass.jl:259-350``) vs the XLA gps path."""
+    from differentialdynamicprogramming_jl_tpu.ops.kl import grad_kl
+    from differentialdynamicprogramming_jl_tpu.policy import GaussianPolicy
+
+    _, _, lims, _, ro, d = pend
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    prev = GaussianPolicy(
+        K=0.3 * jax.random.normal(k1, (B, T, 1, 4), DTYPE),
+        k=0.2 * jax.random.normal(k2, (B, T, 1), DTYPE),
+        sigma=jnp.broadcast_to(0.5 * jnp.eye(1, dtype=DTYPE), (B, T, 1, 1)),
+        sigma_inv=jnp.broadcast_to(2.0 * jnp.eye(1, dtype=DTYPE),
+                                   (B, T, 1, 1)))
+    eta_bt = 0.5 + jax.random.uniform(jax.random.PRNGKey(9), (B, T), DTYPE)
+
+    ref = jax.vmap(lambda dd, uu, pv, et: backward_pass(
+        dd, uu, lam=0.0, reg_type=1, lims=lims if use_limits else None,
+        use_limits=use_limits, eta=et, kl_terms=grad_kl(pv), gps_mode=True)
+    )(d, ro.u, prev, eta_bt)
+    out = backward_pass_pallas(
+        d, ro.u, jnp.zeros((B,), DTYPE), reg_type=1,
+        lims=np.asarray(lims) if use_limits else None,
+        use_limits=use_limits, k_t=4, eta=eta_bt, traj_prev=prev,
+        interpret=True)
+    _cmp(ref, out)
+
+
+def test_derivs_tiles_backward_matches_packed(pend):
+    """In-kernel derivative computation (derivs_tiles) vs the packed
+    derivative stream path."""
+    from differentialdynamicprogramming_jl_tpu.models.pendcart import (
+        pendcart_derivs_tiles)
+    from differentialdynamicprogramming_jl_tpu.ops.pallas.backward_kernel \
+        import backward_lanes
+    spec, _, lims, _, ro, d = pend
+    lam = vec_to_lanes(jnp.ones((B,), DTYPE))
+    dp = pack_backward_inputs(d, ro.u, B)
+    traj = to_lanes(jnp.concatenate([ro.x, ro.u], axis=-1), B)
+    a = backward_lanes(dp, lam, n=4, m=1, reg_type=2, lims=LIMS, k_t=4,
+                       interpret=True)
+    b = backward_lanes(traj, lam, n=4, m=1, reg_type=2, lims=LIMS, k_t=4,
+                       derivs_tiles=pendcart_derivs_tiles(spec),
+                       interpret=True)
+    # real lanes only: the paths see different data on zero-padded lanes
+    ao = np.asarray(a.out).reshape(T, a.out.shape[1], -1)[..., :B]
+    bo = np.asarray(b.out).reshape(T, b.out.shape[1], -1)[..., :B]
+    np.testing.assert_allclose(ao, bo, rtol=1e-5, atol=1e-5)
+    ast = np.asarray(a.stats).reshape(4, -1)[:, :B]
+    bst = np.asarray(b.stats).reshape(4, -1)[:, :B]
+    np.testing.assert_allclose(ast, bst, rtol=1e-5, atol=1e-5)
+
+
 def test_packed_derivs_matches_euler(pend):
     spec, problem, _, _, ro, d = pend
     packed = pendcart_packed_derivs(spec)
