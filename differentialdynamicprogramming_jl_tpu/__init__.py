@@ -20,7 +20,7 @@ TPU device meshes.
 
 from .policy import GaussianPolicy, Trace, Derivs, sym
 from .problem import Problem, make_autodiff_derivs, broadcast_derivs
-from .ops.boxqp import boxqp, boxqp_1d, demo_qp, BoxQPResult
+from .ops.boxqp import boxqp, boxqp_1d, demo_qp, BoxQPResult, QPTrace
 from .ops.backward import backward_pass, BackwardOut, KLTerms
 from .ops.forward import forward_pass, line_search, forward_covariance, Rollout
 from .ops.kl import (grad_kl, kl_div_gaussian, kl_div_wiki, entropy, calc_eta,
@@ -33,7 +33,7 @@ __version__ = "0.1.0"
 __all__ = [
     "GaussianPolicy", "Trace", "Derivs", "sym",
     "Problem", "make_autodiff_derivs", "broadcast_derivs",
-    "boxqp", "boxqp_1d", "demo_qp", "BoxQPResult",
+    "boxqp", "boxqp_1d", "demo_qp", "BoxQPResult", "QPTrace",
     "backward_pass", "BackwardOut", "KLTerms",
     "forward_pass", "line_search", "forward_covariance", "Rollout",
     "grad_kl", "kl_div_gaussian", "kl_div_wiki", "entropy", "calc_eta",

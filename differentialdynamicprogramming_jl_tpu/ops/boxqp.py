@@ -63,6 +63,17 @@ class BoxQPResult(NamedTuple):
     nfactor: jax.Array
 
 
+class QPTrace(NamedTuple):
+    """Fixed-shape per-iteration record of :func:`boxqp_traced` — the
+    reference's ``QPTrace`` struct (``src/boxQP.jl:1-8``) as arrays of
+    static length ``max_iter`` (entries past ``iters`` are zero padding)."""
+
+    value: jax.Array       # (max_iter,) objective value
+    gnorm: jax.Array       # (max_iter,) free-gradient norm
+    n_clamped: jax.Array   # (max_iter,) active-set size
+    factorized: jax.Array  # (max_iter,) bool: refactorized this iteration
+
+
 class _QPState(NamedTuple):
     x: jax.Array
     value: jax.Array
@@ -84,7 +95,8 @@ def _masked_cholesky(H, free):
     return jnp.linalg.cholesky(Hm)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iter", "max_ls"))
+@functools.partial(jax.jit,
+                   static_argnames=("max_iter", "max_ls", "record_trace"))
 def boxqp(H, g, lower, upper, x0,
           max_iter: int = 100,
           min_grad: float = 1e-8,
@@ -92,9 +104,12 @@ def boxqp(H, g, lower, upper, x0,
           step_dec: float = 0.6,
           min_step: float = 1e-22,
           armijo: float = 0.1,
-          max_ls: int = 100) -> BoxQPResult:
+          max_ls: int = 100,
+          record_trace: bool = False):
     """Solve one box QP. Batch by ``jax.vmap``; defaults match the reference
-    (``src/boxQP.jl:29-43``)."""
+    (``src/boxQP.jl:29-43``). With ``record_trace=True`` returns
+    ``(BoxQPResult, QPTrace)`` — the reference's per-iteration trace
+    (``src/boxQP.jl:1-8,75``)."""
     H = jnp.asarray(H)
     dtype = H.dtype
     g = jnp.asarray(g, dtype)
@@ -117,10 +132,25 @@ def boxqp(H, g, lower, upper, x0,
         gnorm=jnp.zeros((), dtype), nfactor=jnp.zeros((), jnp.int32),
     )
 
-    def cond(s: _QPState):
+    def cond(c):
+        s, _tr = c
         return (~s.done) & (s.it <= max_iter)
 
-    def body(s: _QPState) -> _QPState:
+    def body(c):
+        s, tr = c
+        s_new = _step(s)
+        if record_trace:
+            idx = jnp.minimum(s.it - 1, max_iter - 1)
+            tr = QPTrace(
+                value=tr.value.at[idx].set(s_new.value),
+                gnorm=tr.gnorm.at[idx].set(s_new.gnorm),
+                n_clamped=tr.n_clamped.at[idx].set(jnp.sum(
+                    s_new.clamped, dtype=jnp.int32).astype(jnp.int32)),
+                factorized=tr.factorized.at[idx].set(
+                    s_new.nfactor > s.nfactor))
+        return (s_new, tr)
+
+    def _step(s: _QPState) -> _QPState:
         # --- relative-improvement exit (src/boxQP.jl:78-81)
         stop4 = (s.it > 1) & ((s.oldvalue - s.value)
                               < min_rel_improve * jnp.abs(s.oldvalue))
@@ -194,12 +224,20 @@ def boxqp(H, g, lower, upper, x0,
             nfactor=nfactor,
         )
 
-    s = lax.while_loop(cond, body, init)
+    if record_trace:
+        trace0 = QPTrace(value=jnp.zeros((max_iter,), dtype),
+                         gnorm=jnp.zeros((max_iter,), dtype),
+                         n_clamped=jnp.zeros((max_iter,), jnp.int32),
+                         factorized=jnp.zeros((max_iter,), bool))
+    else:
+        trace0 = None
+    s, trace = lax.while_loop(cond, body, (init, trace0))
     # exhausted max_iter without another exit → result 1
     result = jnp.where((~s.done) & (s.result == 0), 1, s.result)
-    return BoxQPResult(x=s.x, result=result.astype(jnp.int32), chol=s.chol,
-                       free=~s.clamped, iters=s.it, value=s.value,
-                       gnorm=s.gnorm, nfactor=s.nfactor)
+    res = BoxQPResult(x=s.x, result=result.astype(jnp.int32), chol=s.chol,
+                      free=~s.clamped, iters=s.it, value=s.value,
+                      gnorm=s.gnorm, nfactor=s.nfactor)
+    return (res, trace) if record_trace else res
 
 
 def boxqp_1d(H, g, lower, upper) -> BoxQPResult:

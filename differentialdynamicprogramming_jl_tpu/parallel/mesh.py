@@ -91,7 +91,7 @@ def ilqg_sharded(problem: Problem, x0s: jax.Array, u0s: jax.Array,
         stats = jax.lax.psum(stats, axis)
         return res, stats
 
-    return solve_shard(x0s, u0s)
+    return jax.jit(solve_shard)(x0s, u0s)
 
 
 def ilqg_batch_sharded(model, packed_derivs, x0s: jax.Array, u0s: jax.Array,
@@ -100,6 +100,7 @@ def ilqg_batch_sharded(model, packed_derivs, x0s: jax.Array, u0s: jax.Array,
                        mesh: Optional[Mesh] = None,
                        axis: str = "b",
                        reduce_stats: bool = False,
+                       derivs_tiles=None,
                        interpret: bool = False):
     """Shard the **lane-layout Pallas fast path**
     (:func:`~..solvers.batch.ilqg_batch_lanes`) over a device mesh.
@@ -113,7 +114,6 @@ def ilqg_batch_sharded(model, packed_derivs, x0s: jax.Array, u0s: jax.Array,
     ``packed_derivs``: lane-layout derivative generator; ``lims``: static
     ``((lo, hi),)*m`` or None.
     """
-    from ..solvers.batch import ilqg_batch_lanes
     from ..solvers.ilqg import ILQGConfig
     if cfg is None:
         cfg = ILQGConfig()
@@ -122,10 +122,24 @@ def ilqg_batch_sharded(model, packed_derivs, x0s: jax.Array, u0s: jax.Array,
     n_dev = mesh.devices.size
     B = x0s.shape[0]
     assert B % n_dev == 0, f"batch {B} must divide over {n_dev} devices"
+    fn = _sharded_lane_solver(model, packed_derivs, derivs_tiles, lims, cfg,
+                              mesh, axis, reduce_stats, interpret)
+    return fn(x0s, u0s)
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_lane_solver(model, packed_derivs, derivs_tiles, lims, cfg,
+                         mesh, axis, reduce_stats, interpret):
+    """Build (and cache — jit caches by function identity, so a fresh
+    closure per call would recompile every solve) the jitted shard_map'd
+    lane solver."""
+    from ..solvers.batch import ilqg_batch_lanes, BatchILQGResult
 
     def solve_shard(x0_shard, u0_shard):
         res = ilqg_batch_lanes(model, packed_derivs, x0_shard, u0_shard,
-                               lims=lims, cfg=cfg, interpret=interpret)
+                               lims=lims, cfg=cfg,
+                               derivs_tiles=derivs_tiles,
+                               interpret=interpret)
         if not reduce_stats:
             return res
         stats = jnp.stack([
@@ -135,7 +149,6 @@ def ilqg_batch_sharded(model, packed_derivs, x0s: jax.Array, u0s: jax.Array,
                     ).astype(x0_shard.dtype)])
         return res, jax.lax.psum(stats, axis)
 
-    from ..solvers.batch import BatchILQGResult
     res_specs = BatchILQGResult(
         x=P(axis), u=P(axis), policy=_gp_skel()._replace(
             K=P(axis), k=P(axis), sigma=P(axis), sigma_inv=P(axis)),
@@ -143,10 +156,9 @@ def ilqg_batch_sharded(model, packed_derivs, x0s: jax.Array, u0s: jax.Array,
         n_iters=P(axis), n_accepted=P(axis), reason=P(axis), lam=P(axis),
         g_norm=P(axis))
     out_specs = (res_specs, P()) if reduce_stats else res_specs
-    fn = jax.shard_map(solve_shard, mesh=mesh,
-                       in_specs=(P(axis), P(axis)),
-                       out_specs=out_specs, check_vma=False)
-    return fn(x0s, u0s)
+    return jax.jit(jax.shard_map(solve_shard, mesh=mesh,
+                                 in_specs=(P(axis), P(axis)),
+                                 out_specs=out_specs, check_vma=False))
 
 
 def _result_structure():

@@ -21,7 +21,9 @@ TPU at reference problem sizes.
 
 Restrictions of this fast path (the generic ``ilqg``/``ilqg_batched`` XLA
 path covers the rest): first-order dynamics (iLQG, not full DDP), f32,
-control limits only for m ≤ 2, no GPS/KL mode, no per-iteration trace.
+control limits only for m ≤ 2, GPS/KL mode only at the kernel level
+(``backward_lanes(prev=…, eta=…)``), per-iteration trace via
+``record_trace=True``.
 """
 from __future__ import annotations
 
@@ -39,6 +41,19 @@ from ..ops.pallas.forward_kernel import LanesModel, forward_lanes
 from .ilqg import ILQGConfig
 
 
+class BatchTrace(NamedTuple):
+    """Per-iteration convergence record for the whole fleet, batch-major
+    (B, cap) — fast-path equivalent of :class:`~..policy.Trace`
+    (reference MVHistory keys, ``src/iLQG.jl:325-330``)."""
+
+    cost: jax.Array
+    lam: jax.Array
+    grad_norm: jax.Array
+    improvement: jax.Array
+    alpha: jax.Array
+    accepted: jax.Array
+
+
 class BatchILQGResult(NamedTuple):
     """Per-scenario results, batch-major (unpacked from lane layout)."""
 
@@ -54,6 +69,7 @@ class BatchILQGResult(NamedTuple):
     reason: jax.Array     # (B,) exit codes as solvers.ilqg
     lam: jax.Array        # (B,)
     g_norm: jax.Array     # (B,)
+    trace: Optional[BatchTrace] = None   # with record_trace=True
 
 
 class _Carry(NamedTuple):
@@ -68,6 +84,7 @@ class _Carry(NamedTuple):
     it: jax.Array         # scalar int32
     it_lane: jax.Array    # int32 lanes: last iteration each scenario ran
     g_norm: jax.Array     # lanes
+    trace: Optional[BatchTrace]  # lane-layout (cap, nB, 8, 128) or None
 
 
 def _bc(mask, arr):
@@ -79,7 +96,8 @@ def _bc(mask, arr):
 @functools.partial(
     jax.jit,
     static_argnames=("model", "packed_derivs", "derivs_tiles", "lims", "cfg",
-                     "kt_backward", "kt_forward", "interpret"))
+                     "kt_backward", "kt_forward", "record_trace",
+                     "interpret"))
 def ilqg_batch_lanes(model: LanesModel,
                      packed_derivs: Optional[Callable],
                      x0s: jax.Array,
@@ -89,6 +107,7 @@ def ilqg_batch_lanes(model: LanesModel,
                      derivs_tiles: Optional[Callable] = None,
                      kt_backward: int = 25,
                      kt_forward: int = 10,
+                     record_trace: bool = False,
                      interpret: bool = False) -> BatchILQGResult:
     """Solve B independent iLQG problems (reference semantics of
     ``src/iLQG.jl:143-341`` per scenario).
@@ -141,6 +160,15 @@ def ilqg_batch_lanes(model: LanesModel,
     al_init = jnp.where(any0, alphas[idx0], 0.0)
     fb0 = run_fwd(traj0, gains0, al_init[None], 0, m, True)
 
+    if record_trace:
+        tz = jnp.zeros((cap,) + L, f32)
+        trace0 = BatchTrace(cost=tz.at[0].set(fb0.totals[0]), lam=tz,
+                            grad_norm=tz, improvement=tz,
+                            alpha=jnp.full((cap,) + L, jnp.nan, f32),
+                            accepted=tz)
+    else:
+        trace0 = None
+
     carry0 = _Carry(
         traj=fb0.traj, cost_tot=fb0.totals[0],
         lam=cfg.lam * ones, dlam=cfg.dlam * ones,
@@ -150,7 +178,7 @@ def ilqg_batch_lanes(model: LanesModel,
         accepted=jnp.ones(L, jnp.int32),
         it=jnp.ones((), jnp.int32),
         it_lane=jnp.zeros(L, jnp.int32),
-        g_norm=zeros)
+        g_norm=zeros, trace=trace0)
 
     def loop_cond(c: _Carry):
         return (~jnp.all(c.done)) & (c.it < cap)
@@ -241,6 +269,20 @@ def ilqg_batch_lanes(model: LanesModel,
         accepted = c.accepted + accept.astype(jnp.int32)
         done = c.done | newly_done | (accepted > cfg.max_iter)
 
+        if record_trace:
+            ti = jnp.minimum(c.it, cap - 1)
+            trace = BatchTrace(
+                cost=c.trace.cost.at[ti].set(tot_n),
+                lam=c.trace.lam.at[ti].set(lam_n),
+                grad_norm=c.trace.grad_norm.at[ti].set(g_norm),
+                improvement=c.trace.improvement.at[ti].set(dcost_sel),
+                alpha=c.trace.alpha.at[ti].set(
+                    jnp.where(accept, al_sel, jnp.nan)),
+                accepted=c.trace.accepted.at[ti].set(
+                    accept.astype(f32)))
+        else:
+            trace = None
+
         return _Carry(
             traj=traj_n, cost_tot=tot_n,
             lam=jnp.where(active, lam_n, c.lam),
@@ -248,7 +290,7 @@ def ilqg_batch_lanes(model: LanesModel,
             bo=bo_n, done=done, reason=reason,
             accepted=accepted, it=c.it + 1,
             it_lane=jnp.where(active, c.it, c.it_lane),
-            g_norm=jnp.where(active, g_norm, c.g_norm))
+            g_norm=jnp.where(active, g_norm, c.g_norm), trace=trace)
 
     c = lax.while_loop(loop_cond, loop_body, carry0)
     reason = jnp.where((c.reason == 0) & (c.accepted > cfg.max_iter),
@@ -274,6 +316,8 @@ def ilqg_batch_lanes(model: LanesModel,
         reason=vec_from_lanes(reason, B),
         lam=vec_from_lanes(c.lam, B),
         g_norm=vec_from_lanes(c.g_norm, B),
+        trace=(BatchTrace(*[jnp.transpose(f.reshape(cap, -1)[:, :B])
+                            for f in c.trace]) if record_trace else None),
     )
 
 
