@@ -27,6 +27,9 @@ from .ops.kl import (grad_kl, kl_div_gaussian, kl_div_wiki, entropy, calc_eta,
                      AdamState, adam_init, adam_update)
 from .solvers.ilqg import ilqg, ILQGConfig, ILQGResult, default_alphas
 from .solvers.ilqgkl import ilqg_kl, ILQGKLConfig
+from .solvers.batch import (ilqg_batch_lanes, ilqg_iteration_lanes,
+                            BatchILQGResult, BatchTrace)
+from .solvers.batch_kl import ilqgkl_batch_lanes, BatchKLResult
 
 __version__ = "0.1.0"
 
@@ -40,4 +43,6 @@ __all__ = [
     "AdamState", "adam_init", "adam_update",
     "ilqg", "ILQGConfig", "ILQGResult", "default_alphas",
     "ilqg_kl", "ILQGKLConfig",
+    "ilqg_batch_lanes", "ilqg_iteration_lanes", "BatchILQGResult",
+    "BatchTrace", "ilqgkl_batch_lanes", "BatchKLResult",
 ]

@@ -10,6 +10,7 @@ the story the control-limited iLQG run then fixes (``:197-206``).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Tuple
 
 import jax
@@ -157,6 +158,7 @@ def make_pendcart_problem(spec: PendCartSpec = PendCartSpec(),
                    traj_cost=traj_cost)
 
 
+@functools.lru_cache(maxsize=32)
 def pendcart_lanes(spec: PendCartSpec = PendCartSpec()):
     """Lane-tile model for the Pallas forward kernel: dynamics/cost on lists
     of (8, 128) tiles (one per state/control dim). Same math as
@@ -193,6 +195,7 @@ def pendcart_lanes(spec: PendCartSpec = PendCartSpec()):
                       terminal=terminal)
 
 
+@functools.lru_cache(maxsize=32)
 def pendcart_packed_derivs(spec: PendCartSpec = PendCartSpec()):
     """Lane-layout derivative generator for the Pallas backward kernel:
     ``(x_lanes (T, n, ...), u_lanes (T, m, ...)) → packed (T, D+m, ...)``
@@ -227,6 +230,7 @@ def pendcart_packed_derivs(spec: PendCartSpec = PendCartSpec()):
     return packed
 
 
+@functools.lru_cache(maxsize=32)
 def pendcart_derivs_tiles(spec: PendCartSpec = PendCartSpec()):
     """In-kernel derivative tiles for the Pallas backward kernel: computes
     the analytic Euler-step Jacobians and cost expansions per timestep from

@@ -1,0 +1,282 @@
+"""Batched lane-layout iLQGkl (GPS trust-region) driver — TPU fast path.
+
+Reference ``iLQGkl`` (``src/iLQGkl.jl:25-252``) with the scalar-η bracketing
+dual update (``calc_η``, ``src/klutils.jl:110-130``), run for a whole fleet
+of scenarios at once in lane layout:
+
+- the backward kernel's GPS mode (η-scaled Q terms + in-register KL
+  expansion from the previous-policy stream);
+- α=1 forward re-roll (``src/iLQGkl.jl:134``) via the forward kernel;
+- Σxx propagation via the covariance kernel;
+- the closed-form policy KL (``kl_div_wiki``, ``src/klutils.jl:70-100``)
+  evaluated elementwise on lane arrays (no scan — XLA fuses it);
+- per-scenario η brackets, divergence retries, satisfaction tests.
+
+Restrictions: m ≤ 2, f32, scalar-η mode (the per-timestep-η ADAM variant
+stays on the XLA path, ``solvers/ilqgkl.py``).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..policy import GaussianPolicy
+from ..ops.pallas.pack import to_lanes, from_lanes, vec_from_lanes
+from ..ops.pallas.backward_kernel import OutLayout, backward_lanes
+from ..ops.pallas.forward_kernel import LanesModel, forward_lanes
+from ..ops.pallas.covariance_kernel import covariance_lanes
+from .ilqgkl import ILQGKLConfig
+
+
+def _logdet_tiles(S, m):
+    """log det of an m×m slot stream (T, m², L) — unrolled, m ≤ 2."""
+    if m == 1:
+        return jnp.log(S[:, 0])
+    if m == 2:
+        det = S[:, 0] * S[:, 3] - S[:, 1] * S[:, 2]
+        return jnp.log(jnp.maximum(det, 1e-30))
+    raise NotImplementedError("lane kl: m > 2")
+
+
+def kl_div_wiki_lanes(mu, sxx, k_n, K_n, S_n, k_p, K_p, Si_p,
+                      n: int, m: int) -> jax.Array:
+    """Per-timestep policy KL on lane streams (``kl_div_wiki``,
+    ``src/klutils.jl:70-100``). ``mu = x_new - x_old`` (T, n, L); ``sxx``
+    (T, n², L); policies as slot streams; ``Si_p`` = previous Σ⁻¹.
+    ``logdet Σp = -logdet Σp⁻¹``. Returns (T, L)."""
+    kd = [k_p[:, i] - k_n[:, i] for i in range(m)]
+    Kd = [[K_p[:, i * n + j] - K_n[:, i * n + j] for j in range(n)]
+          for i in range(m)]
+    Sip = [[Si_p[:, i * m + j] for j in range(m)] for i in range(m)]
+    Sn = [[S_n[:, i * m + j] for j in range(m)] for i in range(m)]
+
+    tr_term = sum(Sip[i][j] * Sn[j][i] for i in range(m) for j in range(m))
+    kk = sum(kd[i] * Sip[i][j] * kd[j] for i in range(m) for j in range(m))
+    ld = -_logdet_tiles(Si_p, m) - _logdet_tiles(S_n, m)
+    kl = 0.5 * (tr_term + kk - float(m) + ld)
+
+    SipKd = [[sum(Sip[i][a] * Kd[a][j] for a in range(m))
+              for j in range(n)] for i in range(m)]
+    KdSipKd = [[sum(Kd[a][i] * SipKd[a][j] for a in range(m))
+                for j in range(n)] for i in range(n)]
+    muv = [mu[:, i] for i in range(n)]
+    kl = kl + 0.5 * (
+        sum(muv[i] * KdSipKd[i][j] * muv[j]
+            for i in range(n) for j in range(n))
+        + sum(KdSipKd[i][j] * sxx[:, j * n + i]
+              for i in range(n) for j in range(n)))
+    kl = kl + sum(kd[i] * SipKd[i][j] * muv[j]
+                  for i in range(m) for j in range(n))
+    return jnp.maximum(kl, 0.0)
+
+
+def calc_eta_lanes(divergence, bracket, kl_step):
+    """Per-scenario dual bracket update (``calc_η``,
+    ``src/klutils.jl:110-130``). ``divergence``: (L,) measured KL;
+    ``bracket``: (3,) + L; returns (new_bracket, satisfied (L,))."""
+    violation = divergence - kl_step
+    satisfied = jnp.abs(violation) < 0.1 * kl_step
+    too_big = violation < 0
+    lo, mid, hi = bracket[0], bracket[1], bracket[2]
+    hi_b = mid
+    mid_b = jnp.maximum(jnp.sqrt(lo * hi_b), 0.1 * hi_b)
+    lo_s = mid
+    mid_s = jnp.minimum(jnp.sqrt(lo_s * hi), 10.0 * lo_s)
+    new_lo = jnp.where(too_big, lo, lo_s)
+    new_mid = jnp.where(too_big, mid_b, mid_s)
+    new_hi = jnp.where(too_big, hi_b, hi)
+    keep = satisfied
+    return (jnp.stack([jnp.where(keep, lo, new_lo),
+                       jnp.where(keep, mid, new_mid),
+                       jnp.where(keep, hi, new_hi)]), satisfied)
+
+
+class BatchKLResult(NamedTuple):
+    """Batch-major iLQGkl results (cf. ``ILQGKLResult``)."""
+
+    x: jax.Array
+    u: jax.Array
+    policy: GaussianPolicy
+    cost: jax.Array          # (B, T) running costs of the final rollout
+    cost_total: jax.Array    # (B,)
+    eta: jax.Array           # (B,)
+    divergence: jax.Array    # (B,) mean KL
+    satisfied: jax.Array     # (B,) bool
+    kl_violated: jax.Array   # (B,) final warning (src/iLQGkl.jl:248)
+    n_iters: jax.Array       # (B,)
+
+
+class _Carry(NamedTuple):
+    bracket: jax.Array       # (3,) + L
+    delta: jax.Array         # η-escalation increment
+    traj_new: jax.Array      # (T, n+m+1, L)
+    tot_new: jax.Array
+    bo: jax.Array
+    div: jax.Array           # (L,) mean KL
+    satisfied: jax.Array
+    done: jax.Array
+    it: jax.Array
+    it_lane: jax.Array
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "derivs_tiles", "lims", "cfg", "r1",
+                     "kt", "interpret"))
+def ilqgkl_batch_lanes(model: LanesModel,
+                       derivs_tiles: Callable,
+                       x0s: jax.Array,
+                       traj_prev: GaussianPolicy,
+                       fx_model: jax.Array,
+                       cost0: jax.Array,
+                       lims: Optional[Tuple] = None,
+                       cfg: ILQGKLConfig = ILQGKLConfig(),
+                       r1: Optional[Tuple] = None,
+                       kt: int = 16,
+                       interpret: bool = False) -> BatchKLResult:
+    """KL-constrained solve for B scenarios (scalar-η branch of the
+    reference, ``src/iLQGkl.jl:93-181``).
+
+    - ``x0s``: pre-rolled trajectories (B, T, n) (mandatory, as in the
+      reference ``src/iLQGkl.jl:65-72``); nominal controls = traj_prev.k.
+    - ``traj_prev``: previous policy, leaves (B, T, ...).
+    - ``fx_model``: model linearizations (B, T, n, n) for the covariance
+      propagation; ``r1``: static (n, n) tuple (default identity).
+    - ``cost0``: (B,) total cost of the pre-rolled trajectory.
+    """
+    n, m = model.n, model.m
+    B, T = x0s.shape[0], x0s.shape[1]
+    f32 = jnp.float32
+    lay = OutLayout(n, m)
+    if r1 is None:
+        r1 = tuple(tuple(1.0 if i == j else 0.0 for j in range(n))
+                   for i in range(n))
+
+    u0 = traj_prev.k.astype(f32)                      # src/iLQGkl.jl:47
+    traj = to_lanes(jnp.concatenate(
+        [x0s.astype(f32), u0,
+         jnp.zeros((B, T, 1), f32)], axis=-1), B)     # cost slot unused
+    L = traj.shape[2:]
+    x0_l = traj[0, :n]
+
+    # prev-policy stream with k zeroed for the KL bookkeeping
+    # (src/iLQGkl.jl:51-52)
+    prev = to_lanes(jnp.concatenate(
+        [jnp.zeros((B, T, m), f32),
+         traj_prev.K.astype(f32).reshape(B, T, -1),
+         traj_prev.sigma_inv.astype(f32).reshape(B, T, -1)], axis=-1), B)
+    k_p = prev[:, :m]
+    K_p = prev[:, m:m + m * n]
+    Si_p = prev[:, m + m * n:]
+    fx_l = to_lanes(fx_model.astype(f32).reshape(B, T, -1), B)
+    sxx = covariance_lanes(fx_l, n=n, r1=r1, k_t=kt, interpret=interpret)
+
+    kl_step = jnp.asarray(cfg.kl_step, f32)
+    br0 = jnp.stack([jnp.full(L, v, f32) for v in cfg.eta_bracket])
+    tot0 = to_lanes(cost0.astype(f32)[:, None, None], B)[0, 0]
+    one_l = jnp.ones((1,) + L, f32)
+
+    def run_bwd(eta_mid):
+        eta_s = jnp.broadcast_to(eta_mid[None, None], (T, 1) + L)
+        return backward_lanes(traj, jnp.zeros(L, f32), n=n, m=m,
+                              reg_type=1, lims=lims, k_t=kt,
+                              derivs_tiles=derivs_tiles,
+                              prev=prev, eta=eta_s, interpret=interpret)
+
+    carry0 = _Carry(
+        bracket=br0, delta=jnp.full(L, cfg.del0, f32),
+        traj_new=traj, tot_new=tot0,
+        bo=jnp.zeros((T, lay.S) + L, f32),
+        div=jnp.zeros(L, f32),
+        satisfied=jnp.zeros(L, bool),
+        done=jnp.zeros(L, bool),
+        it=jnp.ones((), jnp.int32), it_lane=jnp.zeros(L, jnp.int32))
+
+    def loop_cond(c: _Carry):
+        return (~jnp.all(c.done)) & (c.it <= cfg.max_iter)
+
+    def loop_body(c: _Carry) -> _Carry:
+        active = ~c.done
+
+        # η-inflation backward retry (src/iLQGkl.jl:97-124)
+        res0 = run_bwd(c.bracket[1])
+
+        def rcond(s):
+            res_, br_, dl_, k_, ab_ = s
+            div_ = res_.stats[2] > 0.5
+            return jnp.any(active & div_ & (~ab_)) & (k_ < cfg.retry_cap)
+
+        def rbody(s):
+            res_, br_, dl_, k_, ab_ = s
+            bad = (res_.stats[2] > 0.5) & active & (~ab_)
+            mid = jnp.where(bad, br_[1] + dl_, br_[1])
+            dl_n = jnp.where(bad, dl_ * 2.0, dl_)
+            ab_n = ab_ | (bad & (mid > br_[2]))
+            br_n = br_.at[1].set(mid)
+            return (run_bwd(mid), br_n, dl_n, k_ + 1, ab_n)
+
+        res, br, delta, _k, bp_ab = lax.while_loop(
+            rcond, rbody,
+            (res0, c.bracket, c.delta, jnp.zeros((), jnp.int32),
+             jnp.zeros(L, bool)))
+        bo = res.out
+
+        # full-step forward pass (α = 1, src/iLQGkl.jl:134)
+        fb = forward_lanes(traj, bo, x0_l, one_l, model=model, lims=lims,
+                           gk=lay.k, gK=lay.K, g_slots=lay.K + m * n,
+                           emit_traj=True, k_t=kt, interpret=interpret)
+
+        # measured KL (src/iLQGkl.jl:143) — new policy from the backward out
+        mu = fb.traj[:, :n] - traj[:, :n]
+        div_t = kl_div_wiki_lanes(
+            mu, sxx, bo[:, lay.k:lay.k + m], bo[:, lay.K:lay.K + m * n],
+            bo[:, lay.quui:lay.quui + m * m], k_p, K_p, Si_p, n, m)
+        div = jnp.mean(div_t, axis=0)
+
+        br_n, satisfied = calc_eta_lanes(div, br, kl_step)
+        eta_maxed = br_n[1] > 0.999 * br_n[2]         # src/iLQGkl.jl:178
+        newly_done = active & (satisfied | eta_maxed | bp_ab)
+
+        upd = active
+        bc = lambda msk, a: msk.reshape((1,) * (a.ndim - msk.ndim)
+                                        + msk.shape)
+        traj_new = jnp.where(bc(upd, c.traj_new), fb.traj, c.traj_new)
+        tot_new = jnp.where(upd, fb.totals[0], c.tot_new)
+        bo_n = jnp.where(bc(upd, bo), bo, c.bo)
+
+        return _Carry(
+            bracket=jnp.where(upd[None], br_n, c.bracket),
+            delta=jnp.where(upd, delta, c.delta),
+            traj_new=traj_new, tot_new=tot_new, bo=bo_n,
+            div=jnp.where(upd, div, c.div),
+            satisfied=jnp.where(upd, satisfied, c.satisfied),
+            done=c.done | newly_done,
+            it=c.it + 1,
+            it_lane=jnp.where(active, c.it, c.it_lane))
+
+    c = lax.while_loop(loop_cond, loop_body, carry0)
+
+    # unconditional acceptance of the last iterate (src/iLQGkl.jl:239-241)
+    x = from_lanes(c.traj_new[:, :n], B, (n,))
+    u = from_lanes(c.traj_new[:, n:n + m], B, (m,))
+    cost = from_lanes(c.traj_new[:, n + m:n + m + 1], B, ())
+    policy = GaussianPolicy(
+        K=from_lanes(c.bo[:, lay.K:lay.K + m * n], B, (m, n)),
+        k=u,
+        sigma=from_lanes(c.bo[:, lay.quui:lay.quui + m * m], B, (m, m)),
+        sigma_inv=from_lanes(c.bo[:, lay.quu:lay.quu + m * m], B, (m, m)))
+    div = vec_from_lanes(c.div, B)
+    kl_violated = (div > float(cfg.kl_step)) & (
+        jnp.abs(div - float(cfg.kl_step)) > 0.1 * float(cfg.kl_step))
+    return BatchKLResult(
+        x=x, u=u, policy=policy, cost=cost,
+        cost_total=vec_from_lanes(c.tot_new, B),
+        eta=vec_from_lanes(c.bracket[1], B),
+        divergence=div,
+        satisfied=vec_from_lanes(c.satisfied, B),
+        kl_violated=kl_violated,
+        n_iters=vec_from_lanes(c.it_lane, B))
