@@ -23,6 +23,7 @@ from .problem import Problem, make_autodiff_derivs, broadcast_derivs
 from .ops.boxqp import boxqp, boxqp_1d, demo_qp, BoxQPResult, QPTrace
 from .ops.backward import backward_pass, BackwardOut, KLTerms
 from .ops.forward import forward_pass, line_search, forward_covariance, Rollout
+from .ops.riccati_scan import parallel_riccati
 from .ops.kl import (grad_kl, kl_div_gaussian, kl_div_wiki, entropy, calc_eta,
                      AdamState, adam_init, adam_update)
 from .solvers.ilqg import ilqg, ILQGConfig, ILQGResult, default_alphas
@@ -41,6 +42,7 @@ __all__ = [
     "forward_pass", "line_search", "forward_covariance", "Rollout",
     "grad_kl", "kl_div_gaussian", "kl_div_wiki", "entropy", "calc_eta",
     "AdamState", "adam_init", "adam_update",
+    "parallel_riccati",
     "ilqg", "ILQGConfig", "ILQGResult", "default_alphas",
     "ilqg_kl", "ILQGKLConfig",
     "ilqg_batch_lanes", "ilqg_iteration_lanes", "BatchILQGResult",
