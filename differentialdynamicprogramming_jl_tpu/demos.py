@@ -177,6 +177,53 @@ def demo_mpc(B: int = 16, T: int = 300, mpc_steps: int = 40,
     return x, errs
 
 
+def demo_fleet(B: int = None, T: int = 500, dtype=jnp.float32,
+               max_iter: int = 20, lims_val: float = 5.0):
+    """Fleet-scale batched solve — the BASELINE.json north-star workload.
+
+    On TPU: the Pallas lane path at B=4096 (≈85k solves/s/chip); on CPU a
+    small vmap fleet (the lane kernels are TPU-only outside interpret mode).
+    """
+    on_tpu = jax.default_backend() == "tpu"
+    if B is None:
+        B = 4096 if on_tpu else 16
+    spec = PendCartSpec()
+    cfg = ILQGConfig(alphas=default_alphas(0.2, -3.0, 6), reg_type=2,
+                     lam_max=1e15, max_iter=max_iter, iter_cap=max_iter + 4)
+    key = jax.random.PRNGKey(0)
+    x0s = (default_x0(dtype)[None, :]
+           + 0.2 * jax.random.normal(key, (B, 4), dtype)
+           * jnp.array([1, 0, 0, 0], dtype))
+    u0s = jnp.zeros((B, T, 1), dtype)
+    print(f"Fleet solve: {B} pendcart scenarios, T={T}, "
+          f"{max_iter}-iteration budget, ±{lims_val} limits "
+          f"[{'Pallas lane path' if on_tpu else 'vmap XLA path'}]")
+    t0 = time.perf_counter()
+    if on_tpu:
+        from .solvers.batch import ilqg_batch_lanes
+        from .models.pendcart import pendcart_lanes, pendcart_derivs_tiles
+        res = ilqg_batch_lanes(
+            pendcart_lanes(spec), None, x0s, u0s,
+            lims=((-lims_val, lims_val),), cfg=cfg,
+            derivs_tiles=pendcart_derivs_tiles(spec))
+        costs = res.cost_total
+    else:
+        from .parallel.mesh import ilqg_batched
+        prob = make_pendcart_problem(spec, derivs="euler", dtype=dtype)
+        res = ilqg_batched(prob, x0s, u0s,
+                           lims=jnp.array([[-lims_val, lims_val]], dtype),
+                           cfg=cfg)
+        costs = jnp.sum(res.cost, axis=-1)
+    # force completion with a host fetch (block_until_ready is unreliable
+    # through remote-TPU relays — see tools/timing.py)
+    mean_cost = float(jnp.mean(costs))
+    dt = time.perf_counter() - t0
+    print(f"  {B} solves in {dt*1e3:.0f} ms (incl. compile on first call) — "
+          f"mean cost {mean_cost:.1f}, "
+          f"mean iterations {float(jnp.mean(res.n_iters)):.1f}")
+    return res
+
+
 def demo_boxqp(n: int = 500, seed: int = 0):
     """Standalone box-QP demo (reference ``demoQP``, ``src/boxQP.jl:190-199``)."""
     t0 = time.perf_counter()
@@ -203,3 +250,4 @@ if __name__ == "__main__":
     demo_linear()
     demo_linear_kl()
     demo_pendcart()
+    demo_fleet()

@@ -117,6 +117,15 @@ def boxqp(H, g, lower, upper, x0,
     upper = jnp.asarray(upper, dtype)
     m = g.shape[0]
 
+    if dtype == jnp.float32:
+        # the reference defaults are f64-tuned; below f32 resolution the
+        # "no descent direction" check (src/boxQP.jl:133) fires at the
+        # optimum (sdotg rounds to 0 before gnorm reaches 1e-8) and reads
+        # as a spurious hard failure that no λ escalation can fix
+        min_grad = max(min_grad, 1e-6)
+        min_rel_improve = max(min_rel_improve, 1e-6)
+        min_step = max(min_step, 1e-20)
+
     def qval(x):
         return jnp.dot(x, g) + 0.5 * jnp.dot(x, H @ x)
 

@@ -29,8 +29,13 @@ Performance structure:
 - "Cholesky failed" (``src/backward_pass.jl:36-38``) = per-lane PD flag; the
   first failing timestep is latched like the reference's ``diverge`` index.
 
-Unsupported here (falls back to the XLA path in ``ops/batched.py``):
-second-order dynamics terms (full DDP), GPS/KL mode, m>2 with limits, f64.
+GPS/KL mode (reference ``back_pass_gps``) activates via the ``prev``/``eta``
+inputs: Q terms scaled by 1/η and augmented with the KL expansion computed
+in-register from the previous-policy stream (``src/backward_pass.jl:293-299``,
+``src/klutils.jl:8-23``).
+
+Unsupported here (falls back to the generic XLA path, ``ops/backward.py``
+vmapped): second-order dynamics terms (full DDP), m>2 with limits, f64.
 """
 from __future__ import annotations
 
@@ -43,7 +48,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pack import (B_TILE, LANES, SUBLANES, DerivLayout, to_lanes,
-                   from_lanes, vec_to_lanes, vec_from_lanes, padded_batch)
+                   from_lanes, vec_to_lanes, vec_from_lanes, padded_batch,
+                   clamp_k_t)
 from ...policy import Derivs, GaussianPolicy
 from ..backward import BackwardOut
 
@@ -187,10 +193,11 @@ def _boxqp_m2(Q, g, lo, hi):
     cl1 = ((best_x1 <= lo[1]) & (gr1 > 0)) | ((best_x1 >= hi[1]) & (gr1 < 0))
     f0, f1 = ~cl0, ~cl1
     both = f0 & f1
-    one = jnp.ones_like(a) > 0
-    ok = jnp.where(both, (a > 0) & (det > 0),
-                   jnp.where(f0, a > 0,
-                             jnp.where(f1, c > 0, one)))
+    # pure boolean algebra — Mosaic cannot lower select-on-i1 operands
+    ok = ((both & (a > 0) & (det > 0))
+          | (f0 & ~f1 & (a > 0))
+          | (~f0 & f1 & (c > 0))
+          | (~f0 & ~f1))
     return best_x0, best_x1, f0, f1, ok
 
 
@@ -566,7 +573,9 @@ def backward_lanes(dp: jax.Array, lam: jax.Array,
         assert DU >= n + m, f"traj stream needs >= n+m slots, got {DU}"
         in_slots = n + m
     assert T >= 2
-    k_t = min(k_t, T)
+    S_out = OutLayout(n, m).S
+    slots = in_slots + S_out + ((m + m * n + m * m + 1) if gps else 0)
+    k_t = clamp_k_t(k_t, T, slots)
     kernel, n_scratch, Tb, pad = _make_kernel(n, m, T, k_t, reg_type, lims,
                                               derivs_tiles, gps)
     if pad:

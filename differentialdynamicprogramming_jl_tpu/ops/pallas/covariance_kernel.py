@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pack import LANES, SUBLANES
+from .pack import LANES, SUBLANES, clamp_k_t
 
 
 @functools.partial(jax.jit, static_argnames=("n", "r1", "k_t", "interpret"))
@@ -38,7 +38,7 @@ def covariance_lanes(fx: jax.Array, *, n: int,
     """
     T, nn, nB = fx.shape[0], fx.shape[1], fx.shape[2]
     assert nn == n * n
-    k_t = min(k_t, T)
+    k_t = clamp_k_t(k_t, T, 2 * nn)
     Tb = -(-T // k_t)
     T_pad = Tb * k_t
     if T_pad != T:

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pack import LANES, SUBLANES
+from .pack import LANES, SUBLANES, clamp_k_t
 
 
 @dataclasses.dataclass(frozen=True)
@@ -168,6 +168,8 @@ def forward_lanes(traj: jax.Array, gains: jax.Array, x0: jax.Array,
     if g_slots is None:
         g_slots = gains.shape[1]
     assert g_slots >= gK + m * n and g_slots >= gk + m
+    k_t = clamp_k_t(k_t, T, (n + m) + g_slots
+                    + ((n + m + 1) if emit_traj else 0))
     k_t = min(k_t, T)
     kernel, Tb, T_pad, n_scratch = _make_kernel(
         model, T, k_t, A, lims, gk, gK, emit_traj)

@@ -36,6 +36,19 @@ def padded_batch(B: int) -> int:
     return -(-B // B_TILE) * B_TILE
 
 
+# VMEM budget for pipelined kernel blocks (per-core VMEM is ~16 MB; leave
+# headroom for scratch and compiler temporaries)
+VMEM_BLOCK_BUDGET = 11 * 1024 * 1024
+_TILE_BYTES = SUBLANES * LANES * 4
+
+
+def clamp_k_t(k_t: int, T: int, slots_per_step: int) -> int:
+    """Clamp timesteps-per-grid-step so double-buffered in+out blocks fit
+    the VMEM budget (each slot is one (8, 128) f32 tile per step)."""
+    per_step = 2 * slots_per_step * _TILE_BYTES
+    return max(1, min(k_t, T, VMEM_BLOCK_BUDGET // per_step))
+
+
 @dataclasses.dataclass(frozen=True)
 class DerivLayout:
     """Slot offsets of the packed derivative stack (row-major flattening).
