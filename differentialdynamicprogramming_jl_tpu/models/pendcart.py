@@ -263,6 +263,74 @@ def pendcart_derivs_tiles(spec: PendCartSpec = PendCartSpec()):
     return tiles
 
 
+@functools.lru_cache(maxsize=32)
+def pendcart_lanes_param(spec: PendCartSpec = PendCartSpec()):
+    """Parametrized lane model: per-scenario pole length and damping
+    (``params = [l, d]`` lane tiles) — heterogeneous pendcart fleets in one
+    compile. Other constants from ``spec``."""
+    from ..ops.pallas.forward_kernel import LanesModel
+    g, h = spec.g, spec.h
+    Q = tuple(float(q) for q in spec.Q)
+    R = float(spec.R)
+    goal = tuple(float(v) for v in spec.goal)
+
+    def dynamics(x, u, t, par):
+        l, d = par
+        th, thd, p, pd = x
+        f = u[0]
+        thdd = (-g / l) * jnp.sin(th) + (f / l) * jnp.cos(th) - d * thd
+        return [th + h * thd, thd + h * thdd, p + h * pd, pd + h * f]
+
+    def cost(x, u, t, par):
+        c = 0.5 * R * u[0] * u[0]
+        for i in range(4):
+            dx = x[i] - goal[i]
+            c = c + 0.5 * Q[i] * dx * dx
+        return c
+
+    def terminal(x, par):
+        c = None
+        for i in range(4):
+            dx = x[i] - goal[i]
+            term = 0.5 * Q[i] * dx * dx
+            c = term if c is None else c + term
+        return c
+
+    return LanesModel(n=4, m=1, dynamics=dynamics, cost=cost,
+                      terminal=terminal, n_params=2)
+
+
+@functools.lru_cache(maxsize=32)
+def pendcart_derivs_tiles_param(spec: PendCartSpec = PendCartSpec()):
+    """In-kernel derivative tiles with per-scenario ``params = [l, d]``."""
+    g, h = spec.g, spec.h
+    Q = tuple(float(q) for q in spec.Q)
+    R = float(spec.R)
+    goal = tuple(float(v) for v in spec.goal)
+
+    def tiles(x, u, t, par):
+        l, d = par
+        th = x[0]
+        u0 = u[0]
+        z = jnp.zeros_like(th)
+        o = jnp.ones_like(th)
+        a21 = h * (-g / l * jnp.cos(th) - u0 / l * jnp.sin(th))
+        fx = [[o, h * o, z, z],
+              [a21, 1.0 - h * d, z, z],
+              [z, z, o, h * o],
+              [z, z, z, o]]
+        fu = [[z], [h * jnp.cos(th) / l], [z], [h * o]]
+        cx = [Q[i] * (x[i] - goal[i]) for i in range(4)]
+        cu = [R * u0]
+        cxx = [[Q[i] * o if i == j else z for j in range(4)]
+               for i in range(4)]
+        cxu = [[z] for _ in range(4)]
+        cuu = [[R * o]]
+        return dict(fx=fx, fu=fu, cx=cx, cu=cu, cxx=cxx, cxu=cxu, cuu=cuu)
+
+    return tiles
+
+
 def default_lims(dtype=jnp.float32) -> jax.Array:
     """±5 control limits (src/system_pendcart.jl:45)."""
     return jnp.array([[-5.0, 5.0]], dtype)

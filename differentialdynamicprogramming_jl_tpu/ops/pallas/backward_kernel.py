@@ -207,7 +207,7 @@ def _boxqp_m2(Q, g, lo, hi):
 
 def _make_kernel(n: int, m: int, T: int, K_T: int, reg_type: int,
                  lims: Optional[Tuple[Tuple[float, float], ...]],
-                 derivs_tiles=None, gps: bool = False):
+                 derivs_tiles=None, gps: bool = False, n_params: int = 0):
     lay = InLayout(n, m)
     out = OutLayout(n, m)
     use_limits = lims is not None
@@ -223,10 +223,11 @@ def _make_kernel(n: int, m: int, T: int, K_T: int, reg_type: int,
     SDIVT = SDIV + 1
     n_scratch = SDIVT + 1
 
-    def read_derivs(kk, t_log, dp):
+    def read_derivs(kk, t_log, dp, par):
         """Per-step derivative tiles: either sliced from the packed stream
         or computed in-register from (x, u) by the model's ``derivs_tiles``
-        (saving ~90% of the backward input HBM traffic)."""
+        (saving ~90% of the backward input HBM traffic). ``par``: optional
+        per-scenario parameter tiles."""
 
         def mat(off, r, c):
             return [[dp(kk, off + i * c + j) for j in range(c)]
@@ -242,7 +243,8 @@ def _make_kernel(n: int, m: int, T: int, K_T: int, reg_type: int,
                 u=[dp(kk, lay.u + mi) for mi in range(m)])
         x_t = [dp(kk, i) for i in range(n)]
         u_t = [dp(kk, n + mi) for mi in range(m)]
-        d = derivs_tiles(x_t, u_t, t_log)
+        d = (derivs_tiles(x_t, u_t, t_log, par) if n_params
+             else derivs_tiles(x_t, u_t, t_log))
         d["u"] = u_t
         return d
 
@@ -270,11 +272,12 @@ def _make_kernel(n: int, m: int, T: int, K_T: int, reg_type: int,
             cxu=[[-SiK[mi][j] for j in range(n)] for mi in range(m)],
             cuu=Si)
 
-    def substep(kk, t_log, dp, o_ref, lam, scr, boundary: bool, kl=None):
+    def substep(kk, t_log, dp, o_ref, lam, scr, boundary: bool, kl=None,
+                par=None):
         """One timestep. ``kk`` static sub-index in the block; ``t_log``
         traced logical timestep; ``boundary`` selects the t=T-1 init."""
         zero = jnp.zeros((SUBLANES, LANES), jnp.float32)
-        d = read_derivs(kk, t_log, dp)
+        d = read_derivs(kk, t_log, dp, par)
 
         if boundary:
             # boundary t = T-1 (src/backward_pass.jl:97-99, 280-283)
@@ -472,14 +475,21 @@ def _make_kernel(n: int, m: int, T: int, K_T: int, reg_type: int,
         scr[SDIVT] = divt
 
     def kernel(*refs):
+        refs = list(refs)
+        dp_ref, lam_ref = refs[:2]
+        rest = refs[2:]
         if gps:
-            dp_ref, lam_ref, prev_ref, eta_ref, o_ref, stat_ref, scr = refs
+            prev_ref, eta_ref = rest[:2]
+            rest = rest[2:]
         else:
-            dp_ref, lam_ref, o_ref, stat_ref, scr = refs
             prev_ref = eta_ref = None
+        params_ref = rest.pop(0) if n_params else None
+        o_ref, stat_ref, scr = rest
         g = pl.program_id(1)
         lam = lam_ref[0]
         blk = (Tb - 1) - g                  # time-block index (traced)
+        par = ([params_ref[p, 0] for p in range(n_params)]
+               if n_params else None)
 
         def dp(kk, s):
             return dp_ref[kk, s, 0]
@@ -492,15 +502,15 @@ def _make_kernel(n: int, m: int, T: int, K_T: int, reg_type: int,
                 @pl.when(g == 0)
                 def _():
                     substep(kk, t_log, dp, o_ref, lam, scr, boundary=True,
-                            kl=kl)
+                            kl=kl, par=par)
 
                 @pl.when(g > 0)
                 def _():
                     substep(kk, t_log, dp, o_ref, lam, scr, boundary=False,
-                            kl=kl)
+                            kl=kl, par=par)
             else:
                 substep(kk, t_log, dp, o_ref, lam, scr, boundary=False,
-                        kl=kl)
+                        kl=kl, par=par)
 
         stat_ref[0, 0] = scr[SDV1]
         stat_ref[1, 0] = scr[SDV2]
@@ -539,6 +549,7 @@ def backward_lanes(dp: jax.Array, lam: jax.Array,
                    derivs_tiles=None,
                    prev: Optional[jax.Array] = None,
                    eta: Optional[jax.Array] = None,
+                   params: Optional[jax.Array] = None,
                    interpret: bool = False) -> BackwardLanesOut:
     """Run the backward kernel on a lane-layout input stream.
 
@@ -573,11 +584,12 @@ def backward_lanes(dp: jax.Array, lam: jax.Array,
         assert DU >= n + m, f"traj stream needs >= n+m slots, got {DU}"
         in_slots = n + m
     assert T >= 2
+    n_params = 0 if params is None else params.shape[0]
     S_out = OutLayout(n, m).S
     slots = in_slots + S_out + ((m + m * n + m * m + 1) if gps else 0)
     k_t = clamp_k_t(k_t, T, slots)
     kernel, n_scratch, Tb, pad = _make_kernel(n, m, T, k_t, reg_type, lims,
-                                              derivs_tiles, gps)
+                                              derivs_tiles, gps, n_params)
     if pad:
         zfront = lambda a: jnp.concatenate(
             [jnp.zeros((pad,) + a.shape[1:], a.dtype), a], axis=0)
@@ -610,6 +622,11 @@ def backward_lanes(dp: jax.Array, lam: jax.Array,
             pl.BlockSpec((k_t, 1, 1) + tile, rev, memory_space=pltpu.VMEM),
         ]
         inputs += [prev, eta]
+    if n_params:
+        in_specs.append(pl.BlockSpec(
+            (n_params, 1) + tile, lambda bt, g: (0, bt, 0, 0),
+            memory_space=pltpu.VMEM))
+        inputs.append(params)
 
     out = pl.pallas_call(
         kernel,

@@ -42,6 +42,10 @@ class LanesModel:
       last state of the trajectory (the reference appends a zero-control
       evaluation, ``src/system_pendcart.jl:97-106``).
     - ``n``, ``m``: state/control dims.
+    - ``n_params``: per-scenario dynamics/cost parameter count. When > 0,
+      all three functions take a trailing ``params`` argument (list of
+      ``n_params`` lane tiles, constant over the horizon) — heterogeneous
+      fleets (varying masses, lengths, targets, ...) in one compile.
     """
 
     n: int
@@ -49,6 +53,7 @@ class LanesModel:
     dynamics: Callable
     cost: Callable
     terminal: Optional[Callable] = None
+    n_params: int = 0
 
 
 class ForwardLanesOut(NamedTuple):
@@ -61,19 +66,30 @@ def _make_kernel(model: LanesModel, T: int, K_T: int, A: int,
                  lims: Optional[Tuple[Tuple[float, float], ...]],
                  gk: int, gK: int, emit_traj: bool):
     n, m = model.n, model.m
+    P = model.n_params
     Tb = -(-T // K_T)
     T_pad = Tb * K_T
     # scratch: per candidate α — x (n), run-cost (1), terminal (1)
     stride = n + 2
 
     def kernel(*refs):
+        refs = list(refs)
+        traj_ref, gains_ref, x0_ref, alpha_ref = refs[:4]
+        rest = refs[4:]
+        params_ref = rest.pop(0) if P else None
         if emit_traj:
-            (traj_ref, gains_ref, x0_ref, alpha_ref,
-             totals_ref, term_ref, out_ref, scr) = refs
+            totals_ref, term_ref, out_ref, scr = rest
         else:
-            (traj_ref, gains_ref, x0_ref, alpha_ref,
-             totals_ref, term_ref, scr) = refs
+            totals_ref, term_ref, scr = rest
         g = pl.program_id(1)
+        if P:
+            par = [params_ref[p, 0] for p in range(P)]
+            dyn = lambda x, u, t: model.dynamics(x, u, t, par)
+            cost_fn = lambda x, u, t: model.cost(x, u, t, par)
+            term_fn = (None if model.terminal is None
+                       else (lambda x: model.terminal(x, par)))
+        else:
+            dyn, cost_fn, term_fn = model.dynamics, model.cost, model.terminal
 
         @pl.when(g == 0)
         def _():
@@ -107,16 +123,16 @@ def _make_kernel(model: LanesModel, T: int, K_T: int, A: int,
                     if lims is not None:
                         v = jnp.clip(v, lims[mi][0], lims[mi][1])
                     u.append(v)
-                c = model.cost(x, u, t_log)
+                c = cost_fn(x, u, t_log)
                 if emit_traj and a == 0:
                     for i in range(n):
                         out_ref[kk, i, 0] = x[i]
                     for mi in range(m):
                         out_ref[kk, n + mi, 0] = u[mi]
                     out_ref[kk, n + m, 0] = c
-                x_next = model.dynamics(x, u, t_log)
-                if model.terminal is not None:
-                    term = model.terminal(x)
+                x_next = dyn(x, u, t_log)
+                if term_fn is not None:
+                    term = term_fn(x)
                     scr[a * stride + n + 1] = jnp.where(
                         is_last, term, scr[a * stride + n + 1])
                 for i in range(n):
@@ -137,6 +153,7 @@ def _make_kernel(model: LanesModel, T: int, K_T: int, A: int,
                      "k_t", "interpret"))
 def forward_lanes(traj: jax.Array, gains: jax.Array, x0: jax.Array,
                   alphas: jax.Array,
+                  params: Optional[jax.Array] = None,
                   *, model: LanesModel,
                   lims: Optional[Tuple[Tuple[float, float], ...]] = None,
                   gk: int = 0, gK: Optional[int] = None,
@@ -194,22 +211,29 @@ def forward_lanes(traj: jax.Array, gains: jax.Array, x0: jax.Array,
             pl.BlockSpec((k_t, n + m + 1, 1) + tile, fwd,
                          memory_space=pltpu.VMEM))
 
+    in_specs = [
+        pl.BlockSpec((k_t, n + m, 1) + tile, fwd, memory_space=pltpu.VMEM),
+        pl.BlockSpec((k_t, g_slots, 1) + tile, fwd,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, 1) + tile, fixedA, memory_space=pltpu.VMEM),
+        pl.BlockSpec((A, 1) + tile, fixedA, memory_space=pltpu.VMEM),
+    ]
+    inputs = [traj, gains, x0, alphas]
+    if model.n_params:
+        assert params is not None and params.shape[0] == model.n_params
+        in_specs.append(pl.BlockSpec((model.n_params, 1) + tile, fixedA,
+                                     memory_space=pltpu.VMEM))
+        inputs.append(params)
+
     res = pl.pallas_call(
         kernel,
         grid=(nB, Tb),
-        in_specs=[
-            pl.BlockSpec((k_t, n + m, 1) + tile, fwd,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k_t, g_slots, 1) + tile, fwd,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, 1) + tile, fixedA, memory_space=pltpu.VMEM),
-            pl.BlockSpec((A, 1) + tile, fixedA, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_shape=tuple(out_shape),
         out_specs=tuple(out_specs),
         scratch_shapes=[pltpu.VMEM((n_scratch,) + tile, f32)],
         interpret=interpret,
-    )(traj, gains, x0, alphas)
+    )(*inputs)
 
     if emit_traj:
         totals, term, out = res

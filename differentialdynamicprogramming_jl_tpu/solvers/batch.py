@@ -105,6 +105,7 @@ def ilqg_batch_lanes(model: LanesModel,
                      lims: Optional[Tuple[Tuple[float, float], ...]] = None,
                      cfg: ILQGConfig = ILQGConfig(),
                      derivs_tiles: Optional[Callable] = None,
+                     params: Optional[jax.Array] = None,
                      kt_backward: int = 25,
                      kt_forward: int = 10,
                      record_trace: bool = False,
@@ -117,6 +118,9 @@ def ilqg_batch_lanes(model: LanesModel,
       backward kernel streams only the trajectory); or
       ``packed_derivs``: ``(x_lanes, u_lanes) → (T, D+m, ...)`` stream.
     - ``x0s``: (B, n) initial states; ``u0s``: (B, T, m) initial controls.
+    - ``params``: optional per-scenario dynamics/cost parameters (B, P) for
+      heterogeneous fleets (requires a parametrized ``model``/
+      ``derivs_tiles`` with ``n_params == P``).
     - ``lims``: static ``((lo, hi),) * m`` or None.
     """
     assert derivs_tiles is not None or packed_derivs is not None
@@ -137,16 +141,20 @@ def ilqg_batch_lanes(model: LanesModel,
     al_all = jnp.broadcast_to(alphas.reshape(A, 1, 1, 1), (A,) + L)
     g_sl = lay.K + m * n          # gains window of the backward out stream
 
+    par_l = (to_lanes(params.astype(f32)[:, None, :], B)[0]
+             if params is not None else None)
+
     def run_fwd(traj, gains, al, gk, gK, emit, g_slots=None):
-        return forward_lanes(traj, gains, x0_l, al, model=model, lims=lims,
-                             gk=gk, gK=gK, g_slots=g_slots, emit_traj=emit,
-                             k_t=kt_forward, interpret=interpret)
+        return forward_lanes(traj, gains, x0_l, al, par_l, model=model,
+                             lims=lims, gk=gk, gK=gK, g_slots=g_slots,
+                             emit_traj=emit, k_t=kt_forward,
+                             interpret=interpret)
 
     def run_bwd(traj_or_dp, lam):
         return backward_lanes(traj_or_dp, lam, n=n, m=m,
                               reg_type=cfg.reg_type, lims=lims,
                               k_t=kt_backward, derivs_tiles=derivs_tiles,
-                              interpret=interpret)
+                              params=par_l, interpret=interpret)
 
     # ---- initial rollout α-sweep (src/iLQG.jl:181-210): u ← α·u0 via the
     #      trick k := u0, u_nom := 0
