@@ -111,7 +111,7 @@ class BatchKLResult(NamedTuple):
 
 
 class _Carry(NamedTuple):
-    bracket: jax.Array       # (3,) + L
+    bracket: jax.Array       # (3,) + L  (scalar-η)  or (3, T) + L (per-step)
     delta: jax.Array         # η-escalation increment
     traj_new: jax.Array      # (T, n+m+1, L)
     tot_new: jax.Array
@@ -121,6 +121,7 @@ class _Carry(NamedTuple):
     done: jax.Array
     it: jax.Array
     it_lane: jax.Array
+    adam: Optional[jax.Array]  # (2, T) + L ADAM state (per-step mode)
 
 
 @functools.partial(
@@ -138,8 +139,10 @@ def ilqgkl_batch_lanes(model: LanesModel,
                        r1: Optional[Tuple] = None,
                        kt: int = 16,
                        interpret: bool = False) -> BatchKLResult:
-    """KL-constrained solve for B scenarios (scalar-η branch of the
-    reference, ``src/iLQGkl.jl:93-181``).
+    """KL-constrained solve for B scenarios. ``cfg.constrain_per_step``
+    selects the per-timestep-η variant (duals updated by ADAM in log space,
+    reference ``src/iLQGkl.jl:185-236``); otherwise the scalar-η bracketing
+    branch (``src/iLQGkl.jl:93-181``).
 
     - ``x0s``: pre-rolled trajectories (B, T, n) (mandatory, as in the
       reference ``src/iLQGkl.jl:65-72``); nominal controls = traj_prev.k.
@@ -176,25 +179,38 @@ def ilqgkl_batch_lanes(model: LanesModel,
     sxx = covariance_lanes(fx_l, n=n, r1=r1, k_t=kt, interpret=interpret)
 
     kl_step = jnp.asarray(cfg.kl_step, f32)
-    br0 = jnp.stack([jnp.full(L, v, f32) for v in cfg.eta_bracket])
+    per_step = bool(cfg.constrain_per_step)
+    if per_step:
+        br0 = jnp.stack([jnp.full((T,) + L, v, f32)
+                         for v in cfg.eta_bracket])
+        delta0 = jnp.full((T,) + L, cfg.del0, f32)
+        adam0 = jnp.zeros((2, T) + L, f32)
+    else:
+        br0 = jnp.stack([jnp.full(L, v, f32) for v in cfg.eta_bracket])
+        delta0 = jnp.full(L, cfg.del0, f32)
+        adam0 = None
     tot0 = to_lanes(cost0.astype(f32)[:, None, None], B)[0, 0]
     one_l = jnp.ones((1,) + L, f32)
 
     def run_bwd(eta_mid):
-        eta_s = jnp.broadcast_to(eta_mid[None, None], (T, 1) + L)
+        if per_step:
+            eta_s = eta_mid[:, None]                    # (T, 1) + L
+        else:
+            eta_s = jnp.broadcast_to(eta_mid[None, None], (T, 1) + L)
         return backward_lanes(traj, jnp.zeros(L, f32), n=n, m=m,
                               reg_type=1, lims=lims, k_t=kt,
                               derivs_tiles=derivs_tiles,
                               prev=prev, eta=eta_s, interpret=interpret)
 
     carry0 = _Carry(
-        bracket=br0, delta=jnp.full(L, cfg.del0, f32),
+        bracket=br0, delta=delta0,
         traj_new=traj, tot_new=tot0,
         bo=jnp.zeros((T, lay.S) + L, f32),
         div=jnp.zeros(L, f32),
         satisfied=jnp.zeros(L, bool),
         done=jnp.zeros(L, bool),
-        it=jnp.ones((), jnp.int32), it_lane=jnp.zeros(L, jnp.int32))
+        it=jnp.ones((), jnp.int32), it_lane=jnp.zeros(L, jnp.int32),
+        adam=adam0)
 
     def loop_cond(c: _Carry):
         return (~jnp.all(c.done)) & (c.it <= cfg.max_iter)
@@ -202,7 +218,10 @@ def ilqgkl_batch_lanes(model: LanesModel,
     def loop_body(c: _Carry) -> _Carry:
         active = ~c.done
 
-        # η-inflation backward retry (src/iLQGkl.jl:97-124)
+        # η-inflation backward retry (src/iLQGkl.jl:97-124 scalar;
+        # :190-203 per-step — escalate only the diverged timestep, and the
+        # escalation increments reset each outer iteration, :189)
+        delta_in = delta0 if per_step else c.delta
         res0 = run_bwd(c.bracket[1])
 
         def rcond(s):
@@ -213,15 +232,23 @@ def ilqgkl_batch_lanes(model: LanesModel,
         def rbody(s):
             res_, br_, dl_, k_, ab_ = s
             bad = (res_.stats[2] > 0.5) & active & (~ab_)
-            mid = jnp.where(bad, br_[1] + dl_, br_[1])
-            dl_n = jnp.where(bad, dl_ * 2.0, dl_)
-            ab_n = ab_ | (bad & (mid > br_[2]))
+            if per_step:
+                idx = jnp.clip(res_.stats[3].astype(jnp.int32) - 1, 0, T - 1)
+                hot = (jnp.arange(T).reshape((T,) + (1,) * len(L))
+                       == idx[None]) & bad[None]
+                mid = jnp.where(hot, br_[1] + dl_, br_[1])
+                dl_n = jnp.where(hot, dl_ * 2.0, dl_)
+                ab_n = ab_ | (bad & jnp.all(mid > 0.999 * br_[2], axis=0))
+            else:
+                mid = jnp.where(bad, br_[1] + dl_, br_[1])
+                dl_n = jnp.where(bad, dl_ * 2.0, dl_)
+                ab_n = ab_ | (bad & (mid > br_[2]))
             br_n = br_.at[1].set(mid)
             return (run_bwd(mid), br_n, dl_n, k_ + 1, ab_n)
 
         res, br, delta, _k, bp_ab = lax.while_loop(
             rcond, rbody,
-            (res0, c.bracket, c.delta, jnp.zeros((), jnp.int32),
+            (res0, c.bracket, delta_in, jnp.zeros((), jnp.int32),
              jnp.zeros(L, bool)))
         bo = res.out
 
@@ -237,8 +264,30 @@ def ilqgkl_batch_lanes(model: LanesModel,
             bo[:, lay.quui:lay.quui + m * m], k_p, K_p, Si_p, n, m)
         div = jnp.mean(div_t, axis=0)
 
-        br_n, satisfied = calc_eta_lanes(div, br, kl_step)
-        eta_maxed = br_n[1] > 0.999 * br_n[2]         # src/iLQGkl.jl:178
+        if per_step:
+            # ADAM on log η against the per-timestep constraint violation
+            # (src/iLQGkl.jl:211-218, klutils.jl:203-210)
+            violation = div_t - kl_step                # (T,) + L
+            b1, b2, eps = 0.9, 0.999, 1e-8
+            g = -violation
+            m_a = b1 * c.adam[0] + (1 - b1) * g
+            v_a = b2 * c.adam[1] + (1 - b2) * g * g
+            t_f = c.it.astype(f32)
+            m_hat = m_a / (1 - b1 ** t_f)
+            v_hat = v_a / (1 - b2 ** t_f)
+            log_eta = (jnp.log(jnp.maximum(br[1], 1e-30))
+                       - cfg.gd_alpha * m_hat / (jnp.sqrt(v_hat) + eps))
+            eta_new = jnp.clip(jnp.exp(log_eta), br[0], br[2])
+            br_n = br.at[1].set(eta_new)
+            adam_n = jnp.stack([m_a, v_a])
+            satisfied = (jnp.all(div_t < 2.0 * kl_step, axis=0)
+                         & (jnp.mean(violation, axis=0)
+                            < 0.1 * float(cfg.kl_step)))
+            eta_maxed = jnp.all(br_n[1] > 0.999 * br_n[2], axis=0)
+        else:
+            br_n, satisfied = calc_eta_lanes(div, br, kl_step)
+            adam_n = c.adam
+            eta_maxed = br_n[1] > 0.999 * br_n[2]     # src/iLQGkl.jl:178
         newly_done = active & (satisfied | eta_maxed | bp_ab)
 
         upd = active
@@ -247,16 +296,19 @@ def ilqgkl_batch_lanes(model: LanesModel,
         traj_new = jnp.where(bc(upd, c.traj_new), fb.traj, c.traj_new)
         tot_new = jnp.where(upd, fb.totals[0], c.tot_new)
         bo_n = jnp.where(bc(upd, bo), bo, c.bo)
+        br_mask = bc(upd, br_n)
 
         return _Carry(
-            bracket=jnp.where(upd[None], br_n, c.bracket),
-            delta=jnp.where(upd, delta, c.delta),
+            bracket=jnp.where(br_mask, br_n, c.bracket),
+            delta=jnp.where(bc(upd, delta), delta, c.delta),
             traj_new=traj_new, tot_new=tot_new, bo=bo_n,
             div=jnp.where(upd, div, c.div),
             satisfied=jnp.where(upd, satisfied, c.satisfied),
             done=c.done | newly_done,
             it=c.it + 1,
-            it_lane=jnp.where(active, c.it, c.it_lane))
+            it_lane=jnp.where(active, c.it, c.it_lane),
+            adam=(jnp.where(bc(upd, adam_n), adam_n, c.adam)
+                  if per_step else None))
 
     c = lax.while_loop(loop_cond, loop_body, carry0)
 
@@ -272,10 +324,12 @@ def ilqgkl_batch_lanes(model: LanesModel,
     div = vec_from_lanes(c.div, B)
     kl_violated = (div > float(cfg.kl_step)) & (
         jnp.abs(div - float(cfg.kl_step)) > 0.1 * float(cfg.kl_step))
+    eta_fin = (jnp.mean(c.bracket[1], axis=0) if per_step
+               else c.bracket[1])
     return BatchKLResult(
         x=x, u=u, policy=policy, cost=cost,
         cost_total=vec_from_lanes(c.tot_new, B),
-        eta=vec_from_lanes(c.bracket[1], B),
+        eta=vec_from_lanes(eta_fin, B),
         divergence=div,
         satisfied=vec_from_lanes(c.satisfied, B),
         kl_violated=kl_violated,

@@ -18,6 +18,39 @@ from differentialdynamicprogramming_jl_tpu.policy import GaussianPolicy
 B, T = 8, 10
 
 
+def test_batch_kl_per_step_eta_matches_xla_driver():
+    """Per-timestep-η ADAM variant (reference ``constrain_per_step``,
+    ``src/iLQGkl.jl:185-236``)."""
+    dtype = jnp.float32
+    spec = PendCartSpec()
+    problem = make_pendcart_problem(spec, derivs="euler", dtype=dtype)
+    x0s = (default_x0(dtype)[None, :]
+           + 0.1 * jax.random.normal(jax.random.PRNGKey(0), (B, 4), dtype))
+    u0s = 0.2 * jax.random.normal(jax.random.PRNGKey(1), (B, T, 1), dtype)
+    ro = jax.vmap(lambda a, b: forward_pass(problem, a, b))(x0s, u0s)
+    prev = GaussianPolicy.zeros(T, 4, 1, dtype)
+    prev = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (B,) + a.shape), prev)
+    prev = prev._replace(k=ro.u)
+    d = jax.vmap(problem.make_derivs())(ro.x, ro.u)
+    cfg = ILQGKLConfig(kl_step=2.0, max_iter=3, constrain_per_step=True,
+                       gd_alpha=0.01)
+
+    ref = jax.vmap(lambda xt, pv, fxm, ct: ilqg_kl(
+        problem, xt, pv,
+        SimpleLTVModel(fx=fxm, fu=jnp.zeros((T, 4, 1), dtype)), ct, cfg=cfg)
+    )(ro.x, prev, d.fx, ro.cost)
+    out = ilqgkl_batch_lanes(
+        pendcart_lanes(spec), pendcart_derivs_tiles(spec),
+        ro.x, prev, d.fx, jnp.sum(ro.cost, -1), cfg=cfg,
+        kt=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(out.cost_total),
+                               np.asarray(jnp.sum(ref.cost, -1)), rtol=5e-3)
+    np.testing.assert_allclose(np.asarray(out.eta),
+                               np.asarray(jnp.mean(ref.eta, axis=-1)),
+                               rtol=1e-2)
+
+
 def test_batch_kl_matches_xla_driver():
     dtype = jnp.float32
     spec = PendCartSpec()
