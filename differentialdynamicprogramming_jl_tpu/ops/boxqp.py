@@ -28,7 +28,7 @@ clear intent.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -96,19 +96,27 @@ def _masked_cholesky(H, free):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("max_iter", "max_ls", "record_trace"))
+                   static_argnames=("max_iter", "min_grad",
+                                    "min_rel_improve", "step_dec", "min_step",
+                                    "armijo", "max_ls", "record_trace"))
 def boxqp(H, g, lower, upper, x0,
           max_iter: int = 100,
-          min_grad: float = 1e-8,
-          min_rel_improve: float = 1e-8,
+          min_grad: Optional[float] = None,
+          min_rel_improve: Optional[float] = None,
           step_dec: float = 0.6,
-          min_step: float = 1e-22,
+          min_step: Optional[float] = None,
           armijo: float = 0.1,
           max_ls: int = 100,
           record_trace: bool = False):
     """Solve one box QP. Batch by ``jax.vmap``; defaults match the reference
-    (``src/boxQP.jl:29-43``). With ``record_trace=True`` returns
-    ``(BoxQPResult, QPTrace)`` — the reference's per-iteration trace
+    (``src/boxQP.jl:29-43``): ``min_grad=1e-8``, ``min_rel_improve=1e-8``,
+    ``min_step=1e-22`` — except on f32 inputs, where leaving them at ``None``
+    selects f32-safe floors (1e-6 / 1e-6 / 1e-20): below f32 resolution the
+    reference's "no descent direction" check (``src/boxQP.jl:133``) fires at
+    the optimum (sdotg rounds to 0 before gnorm reaches 1e-8) and reads as a
+    spurious hard failure no λ escalation can fix. Explicitly-passed
+    tolerances are honored verbatim on any dtype. With ``record_trace=True``
+    returns ``(BoxQPResult, QPTrace)`` — the reference's per-iteration trace
     (``src/boxQP.jl:1-8,75``)."""
     H = jnp.asarray(H)
     dtype = H.dtype
@@ -117,14 +125,13 @@ def boxqp(H, g, lower, upper, x0,
     upper = jnp.asarray(upper, dtype)
     m = g.shape[0]
 
-    if dtype == jnp.float32:
-        # the reference defaults are f64-tuned; below f32 resolution the
-        # "no descent direction" check (src/boxQP.jl:133) fires at the
-        # optimum (sdotg rounds to 0 before gnorm reaches 1e-8) and reads
-        # as a spurious hard failure that no λ escalation can fix
-        min_grad = max(min_grad, 1e-6)
-        min_rel_improve = max(min_rel_improve, 1e-6)
-        min_step = max(min_step, 1e-20)
+    f32 = dtype == jnp.float32
+    if min_grad is None:
+        min_grad = 1e-6 if f32 else 1e-8
+    if min_rel_improve is None:
+        min_rel_improve = 1e-6 if f32 else 1e-8
+    if min_step is None:
+        min_step = 1e-20 if f32 else 1e-22
 
     def qval(x):
         return jnp.dot(x, g) + 0.5 * jnp.dot(x, H @ x)

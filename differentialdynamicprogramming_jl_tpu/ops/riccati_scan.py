@@ -160,8 +160,11 @@ def parallel_riccati(derivs: Derivs, u: jax.Array) -> BackwardOut:
     dV = jnp.sum(dv, axis=0)
 
     diverged = ~jnp.all(ok)
-    bad_ts = jnp.where(~ok, jnp.arange(1, T, dtype=jnp.int32), T + 1)
-    diverge_idx = jnp.where(diverged, jnp.min(bad_ts),
+    # the sequential backward pass (and the reference, src/backward_pass.jl
+    # scanning i=N-1:-1:1) latches the FIRST failure encountered going
+    # backward, i.e. the LARGEST failing timestep — match that here
+    bad_ts = jnp.where(~ok, jnp.arange(1, T, dtype=jnp.int32), 0)
+    diverge_idx = jnp.where(diverged, jnp.max(bad_ts),
                             jnp.zeros((), jnp.int32)).astype(jnp.int32)
 
     policy = GaussianPolicy(K=K, k=k, sigma=Quu_inv, sigma_inv=Quu)

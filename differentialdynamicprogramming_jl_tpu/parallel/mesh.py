@@ -68,16 +68,22 @@ def ilqg_sharded(problem: Problem, x0s: jax.Array, u0s: jax.Array,
     n_dev = mesh.devices.size
     B = x0s.shape[0]
     assert B % n_dev == 0, f"batch {B} must divide over {n_dev} devices"
+    fn = _sharded_xla_solver(problem, cfg, mesh, axis, reduce_stats,
+                             lims is not None)
+    if lims is None:
+        return fn(x0s, u0s)
+    return fn(x0s, u0s, jnp.asarray(lims))
 
-    @functools.partial(
-        jax.shard_map, mesh=mesh,
-        in_specs=(P(axis), P(axis)),
-        out_specs=(jax.tree_util.tree_map(lambda _: P(axis),
-                                          _result_structure()),
-                   P()) if reduce_stats else jax.tree_util.tree_map(
-                       lambda _: P(axis), _result_structure()),
-        check_vma=False)
-    def solve_shard(x0_shard, u0_shard):
+
+@functools.lru_cache(maxsize=64)
+def _sharded_xla_solver(problem, cfg, mesh, axis, reduce_stats, has_lims):
+    """Build (and cache — jit caches by function identity, so a fresh
+    closure per call would silently recompile every solve) the jitted
+    shard_map'd XLA-tier solver. ``lims`` rides as a replicated traced
+    argument so differing limit values hit the same compile."""
+
+    def solve_shard(x0_shard, u0_shard, *maybe_lims):
+        lims = maybe_lims[0] if has_lims else None
         res = ilqg_batched(problem, x0_shard, u0_shard, lims=lims, cfg=cfg)
         if not reduce_stats:
             return res
@@ -91,7 +97,12 @@ def ilqg_sharded(problem: Problem, x0s: jax.Array, u0s: jax.Array,
         stats = jax.lax.psum(stats, axis)
         return res, stats
 
-    return jax.jit(solve_shard)(x0s, u0s)
+    res_specs = jax.tree_util.tree_map(lambda _: P(axis),
+                                       _result_structure())
+    out_specs = (res_specs, P()) if reduce_stats else res_specs
+    in_specs = (P(axis), P(axis)) + ((P(),) if has_lims else ())
+    return jax.jit(jax.shard_map(solve_shard, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs, check_vma=False))
 
 
 def ilqg_batch_sharded(model, packed_derivs, x0s: jax.Array, u0s: jax.Array,

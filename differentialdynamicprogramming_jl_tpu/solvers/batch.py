@@ -35,7 +35,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..policy import GaussianPolicy
-from ..ops.pallas.pack import to_lanes, from_lanes, vec_from_lanes
+from ..ops.pallas.pack import (to_lanes, from_lanes, vec_from_lanes,
+                               padded_batch)
 from ..ops.pallas.backward_kernel import OutLayout, backward_lanes
 from ..ops.pallas.forward_kernel import LanesModel, forward_lanes
 from .ilqg import ILQGConfig
@@ -141,8 +142,23 @@ def ilqg_batch_lanes(model: LanesModel,
     al_all = jnp.broadcast_to(alphas.reshape(A, 1, 1, 1), (A,) + L)
     g_sl = lay.K + m * n          # gains window of the backward out stream
 
-    par_l = (to_lanes(params.astype(f32)[:, None, :], B)[0]
-             if params is not None else None)
+    Bp = padded_batch(B)
+    if params is not None:
+        # pad ragged fleets with a BENIGN parameter row (params[0]), not
+        # zeros: zero params can make padded lanes' dynamics NaN (e.g.
+        # pendcart pole length l=0), and NaN lanes would otherwise drive the
+        # λ-retry while_loop through ~90 full-fleet kernel relaunches before
+        # aborting. Padded lanes are sliced away on unpack either way.
+        pf = params.astype(f32)
+        if Bp != B:
+            pf = jnp.concatenate(
+                [pf, jnp.broadcast_to(pf[:1], (Bp - B,) + pf.shape[1:])],
+                axis=0)
+        par_l = to_lanes(pf[:, None, :], Bp)[0]
+    else:
+        par_l = None
+    # lanes beyond B are layout padding: never let them drive control flow
+    lane_valid = (jnp.arange(Bp) < B).reshape(Bp // 1024, 8, 128)
 
     def run_fwd(traj, gains, al, gk, gK, emit, g_slots=None):
         return forward_lanes(traj, gains, x0_l, al, par_l, model=model,
@@ -181,7 +197,7 @@ def ilqg_batch_lanes(model: LanesModel,
         traj=fb0.traj, cost_tot=fb0.totals[0],
         lam=cfg.lam * ones, dlam=cfg.dlam * ones,
         bo=jnp.zeros((T, lay.S) + L, f32),
-        done=~any0,
+        done=(~any0) | (~lane_valid),
         reason=jnp.where(any0, 0, 5).astype(jnp.int32),
         accepted=jnp.ones(L, jnp.int32),
         it=jnp.ones((), jnp.int32),
