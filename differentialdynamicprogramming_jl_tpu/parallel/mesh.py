@@ -112,6 +112,8 @@ def ilqg_batch_sharded(model, packed_derivs, x0s: jax.Array, u0s: jax.Array,
                        axis: str = "b",
                        reduce_stats: bool = False,
                        derivs_tiles=None,
+                       kt_backward: int = 25,
+                       kt_forward: int = 10,
                        interpret: bool = False):
     """Shard the **lane-layout Pallas fast path**
     (:func:`~..solvers.batch.ilqg_batch_lanes`) over a device mesh.
@@ -134,13 +136,15 @@ def ilqg_batch_sharded(model, packed_derivs, x0s: jax.Array, u0s: jax.Array,
     B = x0s.shape[0]
     assert B % n_dev == 0, f"batch {B} must divide over {n_dev} devices"
     fn = _sharded_lane_solver(model, packed_derivs, derivs_tiles, lims, cfg,
-                              mesh, axis, reduce_stats, interpret)
+                              mesh, axis, reduce_stats, kt_backward,
+                              kt_forward, interpret)
     return fn(x0s, u0s)
 
 
 @functools.lru_cache(maxsize=64)
 def _sharded_lane_solver(model, packed_derivs, derivs_tiles, lims, cfg,
-                         mesh, axis, reduce_stats, interpret):
+                         mesh, axis, reduce_stats, kt_backward, kt_forward,
+                         interpret):
     """Build (and cache — jit caches by function identity, so a fresh
     closure per call would recompile every solve) the jitted shard_map'd
     lane solver."""
@@ -150,6 +154,8 @@ def _sharded_lane_solver(model, packed_derivs, derivs_tiles, lims, cfg,
         res = ilqg_batch_lanes(model, packed_derivs, x0_shard, u0_shard,
                                lims=lims, cfg=cfg,
                                derivs_tiles=derivs_tiles,
+                               kt_backward=kt_backward,
+                               kt_forward=kt_forward,
                                interpret=interpret)
         if not reduce_stats:
             return res
