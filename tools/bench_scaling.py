@@ -39,6 +39,64 @@ T = 500
 MAX_ITER = 20
 
 
+def _fleet(B):
+    x0 = default_x0(jnp.float32)
+    x0s = x0[None, :] + (0.2 * jax.random.normal(
+        jax.random.PRNGKey(0), (B, 4), jnp.float32)
+        * jnp.array([1, 0, 0, 0], jnp.float32))
+    u0s = jnp.zeros((B, T, 1), jnp.float32)
+    return x0s, u0s
+
+
+def main_multihost(argv):
+    """Multi-host scaling run: `bench_scaling.py --multihost [coord nproc pid]`.
+
+    Call on every process of the slice (env-driven discovery on TPU pods —
+    no extra args needed). Measures solves/s on ONE local device, then on
+    the full global mesh, and emits the 1→N efficiency number
+    (BASELINE.json north star: ≥80%). Only process 0 prints.
+    """
+    from differentialdynamicprogramming_jl_tpu.parallel import distributed as D
+    if len(argv) >= 3:
+        D.init_distributed(argv[0], int(argv[1]), int(argv[2]))
+    else:
+        D.init_distributed()
+    spec = PendCartSpec()
+    model = pendcart_lanes(spec)
+    tiles = pendcart_derivs_tiles(spec)
+    cfg = ILQGConfig(alphas=default_alphas(0.2, -3.0, 6), reg_type=2,
+                     lam_max=1e15, max_iter=MAX_ITER, iter_cap=MAX_ITER + 4)
+    base = fetch_baseline()
+
+    # 1 local device
+    mesh1 = jax.sharding.Mesh(np.array(jax.local_devices()[:1]), ("b",))
+    x0s, u0s = _fleet(B_PER_DEV)
+    dt1 = timeit("1 device", lambda: ilqg_batch_sharded(
+        model, None, x0s, u0s, lims=((-5.0, 5.0),), cfg=cfg, mesh=mesh1,
+        reduce_stats=True, derivs_tiles=tiles), iters=3, baseline=base)
+    s1 = B_PER_DEV / dt1
+
+    # full global mesh (all chips, all hosts)
+    gmesh = D.global_mesh()
+    n_glob = gmesh.devices.size
+    n_local = len(jax.local_devices())
+    xl, ul = _fleet(B_PER_DEV * n_local)  # this process's shard
+    xg = D.distribute_batch(np.asarray(xl), gmesh)
+    ug = D.distribute_batch(np.asarray(ul), gmesh)
+    dtn = timeit(f"{n_glob} devices / {jax.process_count()} hosts",
+                 lambda: ilqg_batch_sharded(
+                     model, None, xg, ug, lims=((-5.0, 5.0),), cfg=cfg,
+                     mesh=gmesh, reduce_stats=True, derivs_tiles=tiles),
+                 iters=3, baseline=base)
+    sn = B_PER_DEV * n_glob / dtn
+    if jax.process_index() == 0:
+        print(json.dumps({
+            "hosts": jax.process_count(), "devices": n_glob,
+            "solves_per_s_1dev": round(s1, 1),
+            "solves_per_s_global": round(sn, 1),
+            "efficiency_1_to_N": round(sn / (s1 * n_glob), 4)}))
+
+
 def main():
     devs = jax.devices()
     spec = PendCartSpec()
@@ -51,11 +109,7 @@ def main():
     n = 1
     while n <= len(devs):
         B = B_PER_DEV * n
-        x0 = default_x0(jnp.float32)
-        x0s = x0[None, :] + (0.2 * jax.random.normal(
-            jax.random.PRNGKey(0), (B, 4), jnp.float32)
-            * jnp.array([1, 0, 0, 0], jnp.float32))
-        u0s = jnp.zeros((B, T, 1), jnp.float32)
+        x0s, u0s = _fleet(B)
         mesh = make_mesh(n)
 
         def solve(x0s=x0s, u0s=u0s, mesh=mesh):
@@ -76,4 +130,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--multihost":
+        main_multihost(sys.argv[2:])
+    else:
+        main()
