@@ -111,18 +111,23 @@ def demo_pendcart(T: int = 600, dtype=jnp.float64, plot: bool = False,
 
 def demo_mpc(B: int = 16, T: int = 300, mpc_steps: int = 40,
              dtype=jnp.float32, seed: int = 0, lims_val: float = 10.0,
-             inner_iters: int = 5, verbose: bool = True):
+             inner_iters: int = 5, verbose: bool = True,
+             tier: str = "auto", interpret: bool = False):
     """Receding-horizon MPC over a fleet of pendulum-carts — the production
     workload the batched solvers are built for (BASELINE.json north star).
 
     Each MPC step warm-starts a short iLQG solve from the shifted previous
     plan, applies the first control through the true dynamics, and repeats.
-    This demo runs the portable vmap path; on TPU the lane-layout fast path
-    (``solvers.batch.ilqg_iteration_lanes``) runs the same loop at
-    ~1 ms/iteration for 4096 scenarios (see bench.py).
+
+    ``tier``: ``"lanes"`` runs the Pallas lane fast path with the
+    ``warm_start=True`` entry (no α-sweep; ~1 ms/iteration at B=4096 on
+    TPU — set ``interpret=True`` off-TPU); ``"vmap"`` the portable XLA
+    path; ``"auto"`` picks lanes on TPU.
     """
     from .parallel.mesh import ilqg_batched
 
+    if tier == "auto":
+        tier = "lanes" if jax.default_backend() == "tpu" else "vmap"
     spec = PendCartSpec()
     prob = make_pendcart_problem(spec, derivs="euler", dtype=dtype)
     lims = jnp.array([[-lims_val, lims_val]], dtype)
@@ -135,31 +140,62 @@ def demo_mpc(B: int = 16, T: int = 300, mpc_steps: int = 40,
          * jnp.array([1, 1, 0, 0], dtype))
     u_warm = jnp.zeros((B, T, 1), dtype)
 
-    @jax.jit
-    def mpc_step(x, u_warm):
-        # pre-rolled warm start (src/iLQG.jl:193-197) — no initial α-sweep,
-        # the shifted previous plan is used verbatim
-        ro = jax.vmap(lambda a, b: forward_pass(prob, a, b, lims=lims)
-                      )(x, u_warm)
-        res = jax.vmap(lambda xt, ut, ct: ilqg(
-            prob, xt, ut, lims=lims, cfg=cfg, cost0=ct))(ro.x, ro.u, ro.cost)
-        u0 = res.u[:, 0]
-        x_next = jax.vmap(lambda a, b: prob.dynamics(a, b, 0))(x, u0)
-        u_shift = jnp.concatenate(
-            [res.u[:, 1:], jnp.zeros((B, 1, 1), dtype)], axis=1)
-        return x_next, u_shift, jnp.sum(res.cost, axis=-1)
+    # cold-start config: one full-budget solve (warm starts carry it forward)
+    cfg0 = ILQGConfig(alphas=cfg.alphas, reg_type=2, lam_max=1e15,
+                      max_iter=200)
+
+    if tier == "lanes":
+        from .models.pendcart import pendcart_lanes, pendcart_derivs_tiles
+        from .solvers.batch import ilqg_batch_lanes
+        model = pendcart_lanes(spec)
+        tiles = pendcart_derivs_tiles(spec)
+        lims_t = ((-float(lims_val), float(lims_val)),)
+        kt = dict(kt_backward=2, kt_forward=2) if interpret else {}
+
+        def solve(x_, u_, cfg_, warm):
+            return ilqg_batch_lanes(model, None, x_, u_, lims=lims_t,
+                                    cfg=cfg_, derivs_tiles=tiles,
+                                    warm_start=warm, interpret=interpret,
+                                    **kt)
+
+        dyn0 = jax.jit(jax.vmap(lambda a, b: prob.dynamics(a, b, 0)))
+
+        def mpc_step(x_, u_):
+            res = solve(x_, u_, cfg, True)
+            x_next = dyn0(x_, res.u[:, 0])
+            u_shift = jnp.concatenate(
+                [res.u[:, 1:], jnp.zeros((B, 1, 1), dtype)], axis=1)
+            return x_next, u_shift, res.cost_total
+    else:
+        @jax.jit
+        def mpc_step(x, u_warm):
+            # pre-rolled warm start (src/iLQG.jl:193-197) — no initial
+            # α-sweep, the shifted previous plan is used verbatim
+            ro = jax.vmap(lambda a, b: forward_pass(prob, a, b, lims=lims)
+                          )(x, u_warm)
+            res = jax.vmap(lambda xt, ut, ct: ilqg(
+                prob, xt, ut, lims=lims, cfg=cfg, cost0=ct))(
+                    ro.x, ro.u, ro.cost)
+            u0 = res.u[:, 0]
+            x_next = jax.vmap(lambda a, b: prob.dynamics(a, b, 0))(x, u0)
+            u_shift = jnp.concatenate(
+                [res.u[:, 1:], jnp.zeros((B, 1, 1), dtype)], axis=1)
+            return x_next, u_shift, jnp.sum(res.cost, axis=-1)
 
     if verbose:
         print(f"MPC fleet: {B} pendcarts, horizon {T}, "
-              f"{mpc_steps} steps, {inner_iters} iLQG iters/step")
-    # cold-start plan: one full-budget solve (warm starts carry it forward)
-    cfg0 = ILQGConfig(alphas=cfg.alphas, reg_type=2, lam_max=1e15,
-                      max_iter=200)
-    res0 = ilqg_batched(prob, x, u_warm, lims=lims, cfg=cfg0)
-    u_warm = res0.u
+              f"{mpc_steps} steps, {inner_iters} iLQG iters/step "
+              f"[{tier} tier]")
+    if tier == "lanes":
+        res0 = solve(x, u_warm, cfg0, False)
+        u_warm = res0.u
+        cold_cost = float(jnp.mean(res0.cost_total))
+    else:
+        res0 = ilqg_batched(prob, x, u_warm, lims=lims, cfg=cfg0)
+        u_warm = res0.u
+        cold_cost = float(jnp.mean(jnp.sum(res0.cost, -1)))
     if verbose:
-        print(f"  cold-start solve: mean plan cost "
-              f"{float(jnp.mean(jnp.sum(res0.cost, -1))):.2f}")
+        print(f"  cold-start solve: mean plan cost {cold_cost:.2f}")
     t0 = time.perf_counter()
     errs = []
     for step in range(mpc_steps):

@@ -75,6 +75,8 @@ class BatchILQGResult(NamedTuple):
 
 class _Carry(NamedTuple):
     traj: jax.Array       # (T, n+m+1, nB, 8, 128): x, u, running cost
+    bwd_in: Optional[jax.Array]  # cached packed-derivs stream (None when
+    #                              derivatives are computed in-kernel)
     cost_tot: jax.Array   # (nB, 8, 128) incl. terminal
     lam: jax.Array        # (nB, 8, 128)
     dlam: jax.Array
@@ -94,11 +96,36 @@ def _bc(mask, arr):
     return mask.reshape((1,) * extra + mask.shape)
 
 
+def _eval_costs_lanes(model, x_l, u_l, par_l):
+    """Per-step costs of a lane-layout trajectory, evaluated with the
+    model's lane functions outside the kernel (pre-rolled init only)."""
+    P = model.n_params
+    par = [par_l[p] for p in range(P)] if P else None
+
+    def ct(xt, ut, t):
+        xs = [xt[i] for i in range(model.n)]
+        us = [ut[mi] for mi in range(model.m)]
+        return model.cost(xs, us, t, par) if P else model.cost(xs, us, t)
+
+    return jax.vmap(ct)(x_l, u_l, jnp.arange(x_l.shape[0]))
+
+
+def _eval_terminal_lanes(model, xT, par_l):
+    """Terminal cost at the last stored state (the forward kernel's
+    convention — evaluated at stream entry T-1)."""
+    if model.terminal is None:
+        return jnp.zeros(xT.shape[1:], jnp.float32)
+    xs = [xT[i] for i in range(model.n)]
+    if model.n_params:
+        return model.terminal(xs, [par_l[p] for p in range(model.n_params)])
+    return model.terminal(xs)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("model", "packed_derivs", "derivs_tiles", "lims", "cfg",
-                     "kt_backward", "kt_forward", "record_trace",
-                     "interpret"))
+                     "warm_start", "kt_backward", "kt_forward",
+                     "record_trace", "interpret"))
 def ilqg_batch_lanes(model: LanesModel,
                      packed_derivs: Optional[Callable],
                      x0s: jax.Array,
@@ -107,6 +134,8 @@ def ilqg_batch_lanes(model: LanesModel,
                      cfg: ILQGConfig = ILQGConfig(),
                      derivs_tiles: Optional[Callable] = None,
                      params: Optional[jax.Array] = None,
+                     cost0: Optional[jax.Array] = None,
+                     warm_start: bool = False,
                      kt_backward: int = 25,
                      kt_forward: int = 10,
                      record_trace: bool = False,
@@ -118,7 +147,16 @@ def ilqg_batch_lanes(model: LanesModel,
     - ``derivs_tiles``: in-kernel derivative function (preferred — the
       backward kernel streams only the trajectory); or
       ``packed_derivs``: ``(x_lanes, u_lanes) → (T, D+m, ...)`` stream.
-    - ``x0s``: (B, n) initial states; ``u0s``: (B, T, m) initial controls.
+    - ``x0s``: (B, n) initial states (initial rollout α-sweep performed,
+      ``src/iLQG.jl:181-192``) or **pre-rolled** (B, T, n) trajectories
+      used verbatim with ``u0s`` (``src/iLQG.jl:193-197``) — the warm-start
+      entry for MPC loops on the fast path.
+    - ``cost0``: optional (B, T) per-step costs of a pre-rolled trajectory
+      (reference ``cost`` kwarg, ``src/iLQG.jl:85-87``); computed from
+      ``model`` when omitted.
+    - ``warm_start``: with (B, n) ``x0s``, skip the initial α-sweep and
+      roll ``u0s`` open-loop at α=1 (one kernel pass instead of two — the
+      MPC re-roll of a shifted plan from newly measured states).
     - ``params``: optional per-scenario dynamics/cost parameters (B, P) for
       heterogeneous fleets (requires a parametrized ``model``/
       ``derivs_tiles`` with ``n_params == P``).
@@ -130,8 +168,13 @@ def ilqg_batch_lanes(model: LanesModel,
     f32 = jnp.float32
     lay = OutLayout(n, m)
     cap = cfg.cap()
+    pre_rolled = x0s.ndim == 3
 
-    x0_l = to_lanes(x0s.astype(f32)[:, None, :], B)[0]     # (n, nB, 8, 128)
+    if pre_rolled:
+        x_roll = to_lanes(x0s.astype(f32), B)               # (T, n, ...)
+        x0_l = x_roll[0]
+    else:
+        x0_l = to_lanes(x0s.astype(f32)[:, None, :], B)[0]  # (n, nB, 8, 128)
     u_nom0 = to_lanes(u0s.astype(f32), B)                   # (T, m, ...)
     L = x0_l.shape[1:]                                      # (nB, 8, 128)
     ones = jnp.ones(L, f32)
@@ -172,21 +215,51 @@ def ilqg_batch_lanes(model: LanesModel,
                               k_t=kt_backward, derivs_tiles=derivs_tiles,
                               params=par_l, interpret=interpret)
 
-    # ---- initial rollout α-sweep (src/iLQG.jl:181-210): u ← α·u0 via the
-    #      trick k := u0, u_nom := 0
-    traj0 = jnp.zeros((T, n + m) + L, f32)
-    gains0 = jnp.concatenate(
-        [u_nom0, jnp.zeros((T, m * n) + L, f32)], axis=1)
-    fa0 = run_fwd(traj0, gains0, al_all, 0, m, False)
-    ok0 = jnp.isfinite(fa0.totals) & (fa0.totals < 1e16)    # |x|<1e8 guard
-    any0 = jnp.any(ok0, axis=0)
-    idx0 = jnp.argmax(ok0, axis=0)
-    al_init = jnp.where(any0, alphas[idx0], 0.0)
-    fb0 = run_fwd(traj0, gains0, al_init[None], 0, m, True)
+    if pre_rolled:
+        # trust the supplied trajectory verbatim (src/iLQG.jl:193-197) —
+        # no rollout; per-step costs from cost0 ((B, T), or (B, T+1) with
+        # the XLA tier's trailing terminal row) or the model's lane fns
+        if cost0 is not None:
+            c0 = cost0.astype(f32)
+            if c0.shape[1] == T + 1:
+                c_l = to_lanes(c0[:, :T, None], B)[:, 0]
+                cterm = to_lanes(c0[:, T:, None], B)[0, 0]
+            else:
+                c_l = to_lanes(c0[:, :, None], B)[:, 0]
+                cterm = _eval_terminal_lanes(model, x_roll[T - 1], par_l)
+        else:
+            c_l = _eval_costs_lanes(model, x_roll, u_nom0, par_l)
+            cterm = _eval_terminal_lanes(model, x_roll[T - 1], par_l)
+        traj_init = jnp.concatenate([x_roll, u_nom0, c_l[:, None]], axis=1)
+        tot_init = jnp.sum(c_l, axis=0) + cterm
+        any0 = jnp.isfinite(tot_init) & (tot_init < 1e16)
+    else:
+        # ---- initial rollout α-sweep (src/iLQG.jl:181-210): u ← α·u0 via
+        #      the trick k := u0, u_nom := 0; warm_start pins α=1 (the MPC
+        #      re-roll of a shifted plan — one kernel pass, no sweep)
+        traj0 = jnp.zeros((T, n + m) + L, f32)
+        gains0 = jnp.concatenate(
+            [u_nom0, jnp.zeros((T, m * n) + L, f32)], axis=1)
+        if warm_start:
+            al_init = jnp.ones(L, f32)
+            any0 = jnp.ones(L, bool)  # guarded below by fb0 finiteness
+        else:
+            fa0 = run_fwd(traj0, gains0, al_all, 0, m, False)
+            ok0 = jnp.isfinite(fa0.totals) & (fa0.totals < 1e16)  # |x|<1e8
+            any0 = jnp.any(ok0, axis=0)
+            idx0 = jnp.argmax(ok0, axis=0)
+            al_init = jnp.where(any0, alphas[idx0], 0.0)
+        fb0 = run_fwd(traj0, gains0, al_init[None], 0, m, True)
+        traj_init, tot_init = fb0.traj, fb0.totals[0]
+        if warm_start:
+            any0 = jnp.isfinite(tot_init) & (tot_init < 1e16)
+
+    bwd_in0 = (packed_derivs(traj_init[:, :n], traj_init[:, n:n + m])
+               if packed_derivs is not None else None)
 
     if record_trace:
         tz = jnp.zeros((cap,) + L, f32)
-        trace0 = BatchTrace(cost=tz.at[0].set(fb0.totals[0]), lam=tz,
+        trace0 = BatchTrace(cost=tz.at[0].set(tot_init), lam=tz,
                             grad_norm=tz, improvement=tz,
                             alpha=jnp.full((cap,) + L, jnp.nan, f32),
                             accepted=tz)
@@ -194,7 +267,7 @@ def ilqg_batch_lanes(model: LanesModel,
         trace0 = None
 
     carry0 = _Carry(
-        traj=fb0.traj, cost_tot=fb0.totals[0],
+        traj=traj_init, bwd_in=bwd_in0, cost_tot=tot_init,
         lam=cfg.lam * ones, dlam=cfg.dlam * ones,
         bo=jnp.zeros((T, lay.S) + L, f32),
         done=(~any0) | (~lane_valid),
@@ -212,11 +285,12 @@ def ilqg_batch_lanes(model: LanesModel,
         u_cur = c.traj[:, n:n + m]
 
         # == STEP 1+2: derivatives + backward pass with per-scenario λ retry
-        #    (src/iLQG.jl:226-251). Recomputing derivatives of unchanged
-        #    trajectories is bitwise identical to the reference's flg_change
-        #    caching.
-        bwd_in = c.traj if derivs_tiles is not None else packed_derivs(
-            c.traj[:, :n], u_cur)
+        #    (src/iLQG.jl:226-251). The packed-derivs stream is carried and
+        #    rebuilt only after accepted iterations (flg_change caching,
+        #    src/iLQG.jl:226-229); the derivs_tiles path recomputes
+        #    derivatives in-register inside the kernel, where they are
+        #    cheaper than the HBM traffic a cache would add.
+        bwd_in = c.traj if derivs_tiles is not None else c.bwd_in
         res0 = run_bwd(bwd_in, c.lam)
 
         def retry_cond(s):
@@ -307,8 +381,19 @@ def ilqg_batch_lanes(model: LanesModel,
         else:
             trace = None
 
+        if packed_derivs is not None:
+            # rebuild the cached stream only when some scenario moved; a
+            # fleet-wide all-reject iteration skips the recomputation the
+            # reference's flg_change would skip (src/iLQG.jl:226-229)
+            bwd_in_n = lax.cond(
+                jnp.any(accept),
+                lambda: packed_derivs(traj_n[:, :n], traj_n[:, n:n + m]),
+                lambda: c.bwd_in)
+        else:
+            bwd_in_n = None
+
         return _Carry(
-            traj=traj_n, cost_tot=tot_n,
+            traj=traj_n, bwd_in=bwd_in_n, cost_tot=tot_n,
             lam=jnp.where(active, lam_n, c.lam),
             dlam=jnp.where(active, dlam_n, c.dlam),
             bo=bo_n, done=done, reason=reason,

@@ -8,16 +8,31 @@ parity at larger sizes was additionally validated ad hoc (see commit logs).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from differentialdynamicprogramming_jl_tpu.models.pendcart import (
     PendCartSpec, make_pendcart_problem, default_x0, pendcart_lanes,
-    pendcart_derivs_tiles)
+    pendcart_derivs_tiles, pendcart_packed_derivs)
+from differentialdynamicprogramming_jl_tpu.ops.forward import forward_pass
 from differentialdynamicprogramming_jl_tpu.solvers.ilqg import (
     ilqg, ILQGConfig, default_alphas)
 from differentialdynamicprogramming_jl_tpu.solvers.batch import (
     ilqg_batch_lanes)
 
 B, T = 8, 6
+
+
+@pytest.fixture(scope="module")
+def pend_setup():
+    dtype = jnp.float32
+    spec = PendCartSpec()
+    problem = make_pendcart_problem(spec, derivs="euler", dtype=dtype)
+    x0s = (default_x0(dtype)[None, :]
+           + 0.1 * jax.random.normal(jax.random.PRNGKey(0), (B, 4), dtype))
+    u0s = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (B, T, 1), dtype)
+    cfg = ILQGConfig(alphas=default_alphas(0.2, -3.0, 3), reg_type=2,
+                     max_iter=2, iter_cap=3)
+    return spec, problem, x0s, u0s, cfg
 
 
 def test_batch_lanes_matches_vmap_driver():
@@ -55,3 +70,64 @@ def test_batch_lanes_matches_vmap_driver():
     for b in range(B):
         vals = c[b, :it[b] + 1]
         assert np.all(np.diff(vals) <= 1e-5), vals
+
+
+def test_batch_lanes_pre_rolled_matches_xla(pend_setup):
+    """Warm-start entry: a pre-rolled (B, T, n) trajectory + cost0 skips the
+    initial α-sweep and matches the XLA solver's pre-rolled path
+    (reference src/iLQG.jl:193-197)."""
+    spec, problem, x0s, u0s, cfg = pend_setup
+    lims = jnp.array([[-5.0, 5.0]], jnp.float32)
+    ro = jax.vmap(lambda a, b: forward_pass(problem, a, b, lims=lims)
+                  )(x0s, u0s)
+    ref = jax.vmap(lambda xt, ut, ct: ilqg(
+        problem, xt, ut, lims=lims, cfg=cfg, cost0=ct))(ro.x, ro.u, ro.cost)
+    rc = np.asarray(jnp.sum(ref.cost, -1))
+    kw = dict(lims=((-5.0, 5.0),), cfg=cfg,
+              derivs_tiles=pendcart_derivs_tiles(spec),
+              kt_backward=2, kt_forward=2, interpret=True)
+    out = ilqg_batch_lanes(pendcart_lanes(spec), None, ro.x, ro.u,
+                           cost0=ro.cost, **kw)
+    np.testing.assert_allclose(np.asarray(out.cost_total), rc, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out.reason),
+                                  np.asarray(ref.reason))
+    # cost0 omitted → per-step costs evaluated with the model's lane fns
+    out2 = ilqg_batch_lanes(pendcart_lanes(spec), None, ro.x, ro.u, **kw)
+    np.testing.assert_allclose(np.asarray(out2.cost_total), rc, rtol=1e-4)
+
+
+def test_batch_lanes_warm_start_alpha1(pend_setup):
+    """warm_start=True rolls the plan at α=1 with no sweep; from a benign
+    plan it solves like the swept entry."""
+    spec, problem, x0s, u0s, cfg = pend_setup
+    kw = dict(lims=((-5.0, 5.0),), cfg=cfg,
+              derivs_tiles=pendcart_derivs_tiles(spec),
+              kt_backward=2, kt_forward=2, interpret=True)
+    warm = ilqg_batch_lanes(pendcart_lanes(spec), None, x0s, u0s,
+                            warm_start=True, **kw)
+    assert np.all(np.isfinite(np.asarray(warm.cost_total)))
+    assert np.all(np.asarray(warm.reason) != 5)
+    # α=1 is in the sweep set only implicitly; compare against an explicit
+    # α-sweep whose first candidate rolls ~u0s — costs must be comparable
+    ref = ilqg_batch_lanes(pendcart_lanes(spec), None, x0s, u0s, **kw)
+    assert np.all(np.asarray(warm.cost_total)
+                  <= np.asarray(ref.cost_total) * 1.5 + 1.0)
+
+
+def test_batch_lanes_packed_derivs_stream_cache(pend_setup):
+    """The packed-derivs tier (cached stream carried across iterations,
+    flg_change semantics src/iLQG.jl:226-229) matches the in-kernel
+    derivs_tiles tier."""
+    spec, problem, x0s, u0s, cfg = pend_setup
+    kw = dict(lims=((-5.0, 5.0),), cfg=cfg,
+              kt_backward=2, kt_forward=2, interpret=True)
+    tiles = ilqg_batch_lanes(pendcart_lanes(spec), None, x0s, u0s,
+                             derivs_tiles=pendcart_derivs_tiles(spec), **kw)
+    packed = ilqg_batch_lanes(pendcart_lanes(spec),
+                              pendcart_packed_derivs(spec), x0s, u0s, **kw)
+    np.testing.assert_allclose(np.asarray(packed.cost_total),
+                               np.asarray(tiles.cost_total), rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(packed.reason),
+                                  np.asarray(tiles.reason))
+    np.testing.assert_array_equal(np.asarray(packed.n_accepted),
+                                  np.asarray(tiles.n_accepted))
