@@ -25,7 +25,10 @@ Performance structure:
 - control limits: m==1 closed-form clamped Newton; m==2 exact 9-configuration
   active-set enumeration (every box-QP active set of a 2-D strictly convex
   QP) with the free set derived from the KKT gradient conditions exactly like
-  the reference (``src/boxQP.jl:92-94``).
+  the reference (``src/boxQP.jl:92-94``); m>2 fixed-iteration masked
+  projected-Newton (:func:`_boxqp_masked`) warm-started from the next
+  timestep's k, like the reference's per-step boxQP
+  (``src/backward_pass.jl:49``, ``src/boxQP.jl:71-165``).
 - "Cholesky failed" (``src/backward_pass.jl:36-38``) = per-lane PD flag; the
   first failing timestep is latched like the reference's ``diverge`` index.
 
@@ -35,7 +38,7 @@ in-register from the previous-policy stream (``src/backward_pass.jl:293-299``,
 ``src/klutils.jl:8-23``).
 
 Unsupported here (falls back to the generic XLA path, ``ops/backward.py``
-vmapped): second-order dynamics terms (full DDP), m>2 with limits, f64.
+vmapped): second-order dynamics terms (full DDP), f64.
 """
 from __future__ import annotations
 
@@ -201,16 +204,83 @@ def _boxqp_m2(Q, g, lo, hi):
     return best_x0, best_x1, f0, f1, ok
 
 
+def _boxqp_masked(H, g, lo, hi, x0, mm, n_iter):
+    """Fixed-iteration masked projected-Newton box QP on tile lists — the
+    ``ops/boxqp.py`` algorithm (reference ``src/boxQP.jl:71-165``) with the
+    active set as boolean tiles and the free-subspace Cholesky as the
+    masked-identity-padded factorization, fully unrolled over ``mm`` (the
+    in-kernel gain solve for m > 2 control limits).
+
+    Per iteration: KKT clamp detection (``src/boxQP.jl:92-94``), masked
+    Cholesky, Newton step on the free dims, and a 3-candidate backtracking
+    pick (α ∈ {1, ½, ¼} — the cheap in-register stand-in for the reference's
+    Armijo loop; each extra candidate is ~mm² VPU multiply-adds).
+
+    Returns ``(x, free, L, ok)``: solution tiles, final free mask, the final
+    free-set Cholesky factor (for the feedback-gain solve,
+    ``src/backward_pass.jl:55-60``), and the accumulated PD flag (any failed
+    factorization along the way latches ok=False — the caller's λ-escalation
+    retry handles it exactly like a reference ``result=-1``).
+    """
+    def val(x):
+        v = sum(x[i] * g[i] for i in range(mm))
+        for i in range(mm):
+            for j in range(mm):
+                v = v + 0.5 * x[i] * H[i][j] * x[j]
+        return v
+
+    def kkt_masks(x, grad):
+        clamped = [((x[i] <= lo[i]) & (grad[i] > 0))
+                   | ((x[i] >= hi[i]) & (grad[i] < 0)) for i in range(mm)]
+        return [~c for c in clamped]
+
+    def masked_chol(free):
+        Hm = [[jnp.where(free[i] & free[j], H[i][j], 0.0)
+               + (jnp.where(free[i], 0.0, 1.0) if i == j else 0.0)
+               for j in range(mm)] for i in range(mm)]
+        return _tiny_chol(Hm, mm)
+
+    x = [jnp.clip(x0[i], lo[i], hi[i]) for i in range(mm)]
+    ok = None
+    for _ in range(n_iter):
+        grad = [g[i] + sum(H[i][j] * x[j] for j in range(mm))
+                for i in range(mm)]
+        free = kkt_masks(x, grad)
+        L, okc = masked_chol(free)
+        ok = okc if ok is None else ok & okc
+        gf = [jnp.where(free[i], grad[i], 0.0) for i in range(mm)]
+        dx = _tiny_chol_solve(L, [-v for v in gf], mm)
+        dx = [jnp.where(free[i], dx[i], 0.0) for i in range(mm)]
+        vb = val(x)
+        xb = x
+        for a in (1.0, 0.5, 0.25):
+            xc = [jnp.clip(x[i] + a * dx[i], lo[i], hi[i])
+                  for i in range(mm)]
+            vc = val(xc)
+            take = vc < vb
+            xb = [jnp.where(take, xc[i], xb[i]) for i in range(mm)]
+            vb = jnp.minimum(vc, vb)
+        x = xb
+
+    # final KKT clamp set + free-subspace factor at the solution
+    grad = [g[i] + sum(H[i][j] * x[j] for j in range(mm)) for i in range(mm)]
+    free = kkt_masks(x, grad)
+    L, okf = masked_chol(free)
+    return x, free, L, ok & okf
+
+
 # ---------------------------------------------------------------------------
 # kernel body
 # ---------------------------------------------------------------------------
 
 def _make_kernel(n: int, m: int, T: int, K_T: int, reg_type: int,
                  lims: Optional[Tuple[Tuple[float, float], ...]],
-                 derivs_tiles=None, gps: bool = False, n_params: int = 0):
+                 derivs_tiles=None, gps: bool = False, n_params: int = 0,
+                 qp_iters: int = 8):
     lay = InLayout(n, m)
     out = OutLayout(n, m)
     use_limits = lims is not None
+    warm = use_limits and m > 2     # carried k warm start for the boxQP
     T_pad = -(-T // K_T) * K_T
     Tb = T_pad // K_T
     pad = T_pad - T
@@ -221,7 +291,8 @@ def _make_kernel(n: int, m: int, T: int, K_T: int, reg_type: int,
     SDV2 = SDV1 + 1
     SDIV = SDV2 + 1
     SDIVT = SDIV + 1
-    n_scratch = SDIVT + 1
+    SK = SDIVT + 1
+    n_scratch = SK + (m if warm else 0)
 
     def read_derivs(kk, t_log, dp, par):
         """Per-step derivative tiles: either sliced from the packed stream
@@ -308,6 +379,11 @@ def _make_kernel(n: int, m: int, T: int, K_T: int, reg_type: int,
             scr[SDV2] = zero
             scr[SDIV] = zero
             scr[SDIVT] = zero
+            if warm:
+                # boxQP warm start: k[:, min(i+1, N-1)] with k[N-1]=0
+                # (src/backward_pass.jl:49)
+                for mi in range(m):
+                    scr[SK + mi] = zero
             return
 
         valid = (t_log >= 0) if pad else None
@@ -405,8 +481,22 @@ def _make_kernel(n: int, m: int, T: int, K_T: int, reg_type: int,
                 K_t[1][j] = jnp.where(
                     both, kb1, jnp.where(f1, -q1 / c_s, 0.0))
         else:
-            raise NotImplementedError(
-                "Pallas backward kernel: control limits with m > 2")
+            # m > 2: masked projected-Newton boxQP in-register, warm-started
+            # from the next timestep's k (src/backward_pass.jl:49); feedback
+            # gains solved on the final free subspace
+            # (src/backward_pass.jl:55-60)
+            lo = [lims[mi][0] - u_t[mi] for mi in range(m)]
+            hi = [lims[mi][1] - u_t[mi] for mi in range(m)]
+            x0w = [scr[SK + mi] for mi in range(m)]
+            k_t, free, Lq, ok = _boxqp_masked(QuuF, Qu, lo, hi, x0w, m,
+                                              qp_iters)
+            K_t = [[None] * n for _ in range(m)]
+            for j in range(n):
+                col = _tiny_chol_solve(
+                    Lq, [jnp.where(free[mi], -Qux_r[mi][j], 0.0)
+                         for mi in range(m)], m)
+                for mi in range(m):
+                    K_t[mi][j] = jnp.where(free[mi], col[mi], 0.0)
 
         # sanitize diverged lanes so downstream consumers see zeros
         k_t = [jnp.where(ok, v, 0.0) for v in k_t]
@@ -473,6 +563,10 @@ def _make_kernel(n: int, m: int, T: int, K_T: int, reg_type: int,
         scr[SDV2] = dv2
         scr[SDIV] = div
         scr[SDIVT] = divt
+        if warm:
+            for mi in range(m):
+                scr[SK + mi] = (k_t[mi] if valid is None else
+                                jnp.where(valid, k_t[mi], scr[SK + mi]))
 
     def kernel(*refs):
         refs = list(refs)
@@ -541,7 +635,7 @@ def pack_backward_inputs(derivs: Derivs, u: jax.Array, B: int) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=("n", "m", "reg_type", "lims", "k_t", "derivs_tiles",
-                     "interpret"))
+                     "qp_iters", "interpret"))
 def backward_lanes(dp: jax.Array, lam: jax.Array,
                    *, n: int, m: int, reg_type: int = 1,
                    lims: Optional[Tuple[Tuple[float, float], ...]] = None,
@@ -550,6 +644,7 @@ def backward_lanes(dp: jax.Array, lam: jax.Array,
                    prev: Optional[jax.Array] = None,
                    eta: Optional[jax.Array] = None,
                    params: Optional[jax.Array] = None,
+                   qp_iters: int = 8,
                    interpret: bool = False) -> BackwardLanesOut:
     """Run the backward kernel on a lane-layout input stream.
 
@@ -589,7 +684,8 @@ def backward_lanes(dp: jax.Array, lam: jax.Array,
     slots = in_slots + S_out + ((m + m * n + m * m + 1) if gps else 0)
     k_t = clamp_k_t(k_t, T, slots)
     kernel, n_scratch, Tb, pad = _make_kernel(n, m, T, k_t, reg_type, lims,
-                                              derivs_tiles, gps, n_params)
+                                              derivs_tiles, gps, n_params,
+                                              qp_iters)
     if pad:
         zfront = lambda a: jnp.concatenate(
             [jnp.zeros((pad,) + a.shape[1:], a.dtype), a], axis=0)

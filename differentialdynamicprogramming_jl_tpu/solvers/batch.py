@@ -21,7 +21,7 @@ TPU at reference problem sizes.
 
 Restrictions of this fast path (the generic ``ilqg``/``ilqg_batched`` XLA
 path covers the rest): first-order dynamics (iLQG, not full DDP), f32,
-control limits only for m ≤ 2, GPS/KL mode only at the kernel level
+GPS/KL mode only at the kernel level
 (``backward_lanes(prev=…, eta=…)``), per-iteration trace via
 ``record_trace=True``.
 """

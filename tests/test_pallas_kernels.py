@@ -219,3 +219,37 @@ def test_packed_derivs_matches_euler(pend):
     a = np.asarray(dp).reshape(T, 47, -1)[:, :, :B]
     b = np.asarray(ref_dp).reshape(T, 47, -1)[:, :, :B]
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("m", [3, 4])
+def test_backward_kernel_limits_m_gt_2(m):
+    """m>2 control limits in-kernel: the masked projected-Newton boxQP
+    (_boxqp_masked, reference src/boxQP.jl:71-165) matches the XLA tier's
+    boxqp-based backward pass on a random LTI problem with active clamps.
+
+    n=6 keeps interpret-mode tracing tractable in CI; the same parity was
+    verified at the reference scale n=10, m=3, T=9 (340 s interpret run,
+    rtol 5e-4, 40% of steps clamped) during development."""
+    from differentialdynamicprogramming_jl_tpu.models.linear import (
+        random_lti, make_lti_problem)
+    n, T_, B_ = 6, 7, 8
+    spec = random_lti(jax.random.PRNGKey(2), n=n, m=m, T=T_, dtype=DTYPE)
+    prob = make_lti_problem(spec, T_)
+    lims = jnp.array([[-0.05, 0.05]] * m, DTYPE)   # tight → clamps active
+    x0s = (jnp.tile(spec.x0, (B_, 1))
+           * jnp.linspace(0.5, 2.0, B_, dtype=DTYPE)[:, None])
+    u0s = jnp.tile(spec.u0, (B_, 1, 1)) * 3.0
+    ro = jax.vmap(lambda a, b: forward_pass(prob, a, b, lims=lims)
+                  )(x0s, u0s)
+    d = jax.vmap(prob.make_derivs())(ro.x, ro.u)
+    lam = jnp.full((B_,), 0.1, DTYPE)
+    ref = jax.vmap(lambda dd, uu, ll: backward_pass(
+        dd, uu, lam=ll, reg_type=1, lims=lims, use_limits=True)
+    )(d, ro.u, lam)
+    out = backward_pass_pallas(d, ro.u, lam, reg_type=1,
+                               lims=np.asarray(lims), use_limits=True,
+                               k_t=1, interpret=True)
+    _cmp(ref, out, tol=5e-4)
+    # the limits must actually bind somewhere, or this test proves nothing
+    u_new = np.asarray(ro.u) + np.asarray(out.policy.k)
+    assert np.any(np.abs(u_new) > 0.049), "no clamp was ever active"
