@@ -30,7 +30,8 @@ from .solvers.ilqg import ilqg, ILQGConfig, ILQGResult, default_alphas
 from .solvers.ilqgkl import ilqg_kl, ILQGKLConfig
 from .solvers.batch import (ilqg_batch_lanes, ilqg_iteration_lanes,
                             BatchILQGResult, BatchTrace)
-from .solvers.batch_kl import ilqgkl_batch_lanes, BatchKLResult
+from .solvers.batch_kl import (ilqgkl_batch_lanes, BatchKLResult,
+                               BatchKLTrace)
 
 __version__ = "0.1.0"
 
@@ -46,5 +47,5 @@ __all__ = [
     "ilqg", "ILQGConfig", "ILQGResult", "default_alphas",
     "ilqg_kl", "ILQGKLConfig",
     "ilqg_batch_lanes", "ilqg_iteration_lanes", "BatchILQGResult",
-    "BatchTrace", "ilqgkl_batch_lanes", "BatchKLResult",
+    "BatchTrace", "ilqgkl_batch_lanes", "BatchKLResult", "BatchKLTrace",
 ]

@@ -98,7 +98,8 @@ def _masked_cholesky(H, free):
 @functools.partial(jax.jit,
                    static_argnames=("max_iter", "min_grad",
                                     "min_rel_improve", "step_dec", "min_step",
-                                    "armijo", "max_ls", "record_trace"))
+                                    "armijo", "max_ls", "record_trace",
+                                    "verbose"))
 def boxqp(H, g, lower, upper, x0,
           max_iter: int = 100,
           min_grad: Optional[float] = None,
@@ -107,7 +108,8 @@ def boxqp(H, g, lower, upper, x0,
           min_step: Optional[float] = None,
           armijo: float = 0.1,
           max_ls: int = 100,
-          record_trace: bool = False):
+          record_trace: bool = False,
+          verbose: int = 0):
     """Solve one box QP. Batch by ``jax.vmap``; defaults match the reference
     (``src/boxQP.jl:29-43``): ``min_grad=1e-8``, ``min_rel_improve=1e-8``,
     ``min_step=1e-22`` — except on f32 inputs, where leaving them at ``None``
@@ -139,6 +141,11 @@ def boxqp(H, g, lower, upper, x0,
     x = jnp.clip(jnp.asarray(x0, dtype), lower, upper)
     value0 = qval(x)
 
+    if verbose > 0:
+        # reference `print` kwarg behavior (src/boxQP.jl:65-66)
+        from ..utils import printing as _pr
+        _pr.boxqp_begin(m, value0)
+
     init = _QPState(
         x=x, value=value0, oldvalue=jnp.zeros((), dtype),
         clamped=jnp.zeros((m,), bool),
@@ -155,6 +162,13 @@ def boxqp(H, g, lower, upper, x0,
     def body(c):
         s, tr = c
         s_new = _step(s)
+        if verbose > 1:
+            # per-iteration line (src/boxQP.jl:153-156)
+            from ..utils import printing as _pr
+            _pr.boxqp_row(s.it, s_new.value, s_new.gnorm,
+                          s_new.oldvalue - s_new.value,
+                          jnp.sum(s_new.clamped, dtype=jnp.int32),
+                          s_new.nfactor > s.nfactor)
         if record_trace:
             idx = jnp.minimum(s.it - 1, max_iter - 1)
             tr = QPTrace(
@@ -253,6 +267,12 @@ def boxqp(H, g, lower, upper, x0,
     res = BoxQPResult(x=s.x, result=result.astype(jnp.int32), chol=s.chol,
                       free=~s.clamped, iters=s.it, value=s.value,
                       gnorm=s.gnorm, nfactor=s.nfactor)
+    if verbose > 0:
+        # final RESULT line with the reference's result strings
+        # (src/boxQP.jl:172-184)
+        from ..utils import printing as _pr
+        _pr.boxqp_result(res.result, res.iters, res.gnorm, res.value,
+                         res.nfactor)
     return (res, trace) if record_trace else res
 
 

@@ -49,10 +49,13 @@ class BatchTrace(NamedTuple):
 
     cost: jax.Array
     lam: jax.Array
+    dlam: jax.Array
     grad_norm: jax.Array
     improvement: jax.Array
+    reduce_ratio: jax.Array
     alpha: jax.Array
     accepted: jax.Array
+    divergence: jax.Array   # backward-pass diverge timestep (0 = none)
 
 
 class BatchILQGResult(NamedTuple):
@@ -259,10 +262,10 @@ def ilqg_batch_lanes(model: LanesModel,
 
     if record_trace:
         tz = jnp.zeros((cap,) + L, f32)
-        trace0 = BatchTrace(cost=tz.at[0].set(tot_init), lam=tz,
-                            grad_norm=tz, improvement=tz,
+        trace0 = BatchTrace(cost=tz.at[0].set(tot_init), lam=tz, dlam=tz,
+                            grad_norm=tz, improvement=tz, reduce_ratio=tz,
                             alpha=jnp.full((cap,) + L, jnp.nan, f32),
-                            accepted=tz)
+                            accepted=tz, divergence=tz)
     else:
         trace0 = None
 
@@ -369,17 +372,35 @@ def ilqg_batch_lanes(model: LanesModel,
 
         if record_trace:
             ti = jnp.minimum(c.it, cap - 1)
+            ratio_sel = jnp.take_along_axis(ratio, idx[None], axis=0)[0]
             trace = BatchTrace(
                 cost=c.trace.cost.at[ti].set(tot_n),
                 lam=c.trace.lam.at[ti].set(lam_n),
+                dlam=c.trace.dlam.at[ti].set(dlam_n),
                 grad_norm=c.trace.grad_norm.at[ti].set(g_norm),
                 improvement=c.trace.improvement.at[ti].set(dcost_sel),
+                reduce_ratio=c.trace.reduce_ratio.at[ti].set(ratio_sel),
                 alpha=c.trace.alpha.at[ti].set(
                     jnp.where(accept, al_sel, jnp.nan)),
                 accepted=c.trace.accepted.at[ti].set(
-                    accept.astype(f32)))
+                    accept.astype(f32)),
+                divergence=c.trace.divergence.at[ti].set(res.stats[3]))
         else:
             trace = None
+
+        if cfg.verbosity > 1:
+            # fleet-aggregate iteration row (the reference's per-problem
+            # table, src/iLQG.jl:288-303, does not scale to 4096 lanes)
+            from ..utils import printing as _pr
+            n_act = jnp.sum(active.astype(jnp.int32))
+            den = jnp.maximum(n_act, 1).astype(f32)
+            _pr.lanes_row(
+                c.it, n_act,
+                jnp.sum(jnp.where(active, tot_n, 0.0)) / den,
+                jnp.sum(accept.astype(f32)) / den,
+                jnp.sum(jnp.where(active, lam_n, 0.0)) / den,
+                jnp.sum(jnp.where(active, g_norm, 0.0)) / den,
+                cfg.print_head)
 
         if packed_derivs is not None:
             # rebuild the cached stream only when some scenario moved; a

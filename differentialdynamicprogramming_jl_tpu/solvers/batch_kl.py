@@ -95,6 +95,17 @@ def calc_eta_lanes(divergence, bracket, kl_step):
                        jnp.where(keep, hi, new_hi)]), satisfied)
 
 
+class BatchKLTrace(NamedTuple):
+    """Per-iteration fleet record, batch-major (B, cap) — the lane-tier
+    equivalent of the reference's iLQGkl trace keys
+    (``src/iLQGkl.jl:161-166``: cost, improvement, divergence, η)."""
+
+    cost: jax.Array
+    improvement: jax.Array
+    divergence: jax.Array
+    eta: jax.Array
+
+
 class BatchKLResult(NamedTuple):
     """Batch-major iLQGkl results (cf. ``ILQGKLResult``)."""
 
@@ -108,6 +119,7 @@ class BatchKLResult(NamedTuple):
     satisfied: jax.Array     # (B,) bool
     kl_violated: jax.Array   # (B,) final warning (src/iLQGkl.jl:248)
     n_iters: jax.Array       # (B,)
+    trace: Optional[BatchKLTrace] = None   # with record_trace=True
 
 
 class _Carry(NamedTuple):
@@ -122,12 +134,13 @@ class _Carry(NamedTuple):
     it: jax.Array
     it_lane: jax.Array
     adam: Optional[jax.Array]  # (2, T) + L ADAM state (per-step mode)
+    trace: Optional[BatchKLTrace]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("model", "derivs_tiles", "lims", "cfg", "r1",
-                     "kt", "interpret"))
+                     "kt", "record_trace", "interpret"))
 def ilqgkl_batch_lanes(model: LanesModel,
                        derivs_tiles: Callable,
                        x0s: jax.Array,
@@ -138,6 +151,7 @@ def ilqgkl_batch_lanes(model: LanesModel,
                        cfg: ILQGKLConfig = ILQGKLConfig(),
                        r1: Optional[Tuple] = None,
                        kt: int = 16,
+                       record_trace: bool = False,
                        interpret: bool = False) -> BatchKLResult:
     """KL-constrained solve for B scenarios. ``cfg.constrain_per_step``
     selects the per-timestep-η variant (duals updated by ADAM in log space,
@@ -202,6 +216,14 @@ def ilqgkl_batch_lanes(model: LanesModel,
                               derivs_tiles=derivs_tiles,
                               prev=prev, eta=eta_s, interpret=interpret)
 
+    cap = cfg.max_iter + 1
+    if record_trace:
+        tz = jnp.zeros((cap,) + L, f32)
+        trace0 = BatchKLTrace(cost=tz.at[0].set(tot0), improvement=tz,
+                              divergence=tz, eta=tz)
+    else:
+        trace0 = None
+
     carry0 = _Carry(
         bracket=br0, delta=delta0,
         traj_new=traj, tot_new=tot0,
@@ -210,7 +232,7 @@ def ilqgkl_batch_lanes(model: LanesModel,
         satisfied=jnp.zeros(L, bool),
         done=jnp.zeros(L, bool),
         it=jnp.ones((), jnp.int32), it_lane=jnp.zeros(L, jnp.int32),
-        adam=adam0)
+        adam=adam0, trace=trace0)
 
     def loop_cond(c: _Carry):
         return (~jnp.all(c.done)) & (c.it <= cfg.max_iter)
@@ -298,6 +320,31 @@ def ilqgkl_batch_lanes(model: LanesModel,
         bo_n = jnp.where(bc(upd, bo), bo, c.bo)
         br_mask = bc(upd, br_n)
 
+        eta_mid = jnp.mean(br_n[1], axis=0) if per_step else br_n[1]
+        if record_trace:
+            ti = jnp.minimum(c.it, cap - 1)
+            trace = BatchKLTrace(
+                cost=c.trace.cost.at[ti].set(tot_new),
+                improvement=c.trace.improvement.at[ti].set(
+                    c.tot_new - tot_new),
+                divergence=c.trace.divergence.at[ti].set(
+                    jnp.where(upd, div, c.div)),
+                eta=c.trace.eta.at[ti].set(eta_mid))
+        else:
+            trace = None
+
+        if cfg.verbosity > 1:
+            from ..utils import printing as _pr
+            n_act = jnp.sum(active.astype(jnp.int32))
+            den = jnp.maximum(n_act, 1).astype(f32)
+            _pr.kl_lanes_row(
+                c.it, n_act,
+                jnp.sum(jnp.where(active, tot_new, 0.0)) / den,
+                jnp.sum(jnp.where(active, eta_mid, 0.0)) / den,
+                jnp.sum(jnp.where(active, div, 0.0)) / den,
+                jnp.sum((satisfied & active).astype(f32)) / den,
+                cfg.print_head)
+
         return _Carry(
             bracket=jnp.where(br_mask, br_n, c.bracket),
             delta=jnp.where(bc(upd, delta), delta, c.delta),
@@ -308,7 +355,8 @@ def ilqgkl_batch_lanes(model: LanesModel,
             it=c.it + 1,
             it_lane=jnp.where(active, c.it, c.it_lane),
             adam=(jnp.where(bc(upd, adam_n), adam_n, c.adam)
-                  if per_step else None))
+                  if per_step else None),
+            trace=trace)
 
     c = lax.while_loop(loop_cond, loop_body, carry0)
 
@@ -333,4 +381,6 @@ def ilqgkl_batch_lanes(model: LanesModel,
         divergence=div,
         satisfied=vec_from_lanes(c.satisfied, B),
         kl_violated=kl_violated,
-        n_iters=vec_from_lanes(c.it_lane, B))
+        n_iters=vec_from_lanes(c.it_lane, B),
+        trace=(BatchKLTrace(*[jnp.transpose(f.reshape(cap, -1)[:, :B])
+                              for f in c.trace]) if record_trace else None))

@@ -26,6 +26,7 @@ from ..policy import Derivs, GaussianPolicy, Trace
 from ..problem import Problem
 from ..ops.backward import BackwardOut, backward_pass
 from ..ops.forward import forward_pass, line_search
+from ..utils import printing as _pr
 
 
 def default_alphas(lo: float = 0.0, hi: float = -3.0, num: int = 11):
@@ -51,7 +52,11 @@ class ILQGConfig:
     lam_min: float = 1e-6
     reg_type: int = 1
     reduce_ratio_min: float = 0.0
+    # 0: silent, 1: begin/exit messages + final summary, 2: iteration table
+    # with periodic headers, 3: + per-retry Cholesky failures
+    # (src/iLQG.jl:133,158)
     verbosity: int = 0
+    print_head: int = 10            # header every N rows (src/iLQG.jl:162)
     qp_max_iter: int = 100
     # total-iteration cap (accepted + rejected); the reference's loop counts
     # only accepted iterations (src/iLQG.jl:222) and is unbounded in rejects,
@@ -147,23 +152,32 @@ def _write_trace(trace: Trace, i, cap, **kv) -> Trace:
 def ilqg(problem: Problem, x0: jax.Array, u0: jax.Array,
          lims: Optional[jax.Array] = None,
          cfg: ILQGConfig = ILQGConfig(),
-         cost0: Optional[jax.Array] = None) -> ILQGResult:
+         cost0: Optional[jax.Array] = None,
+         iter_callback=None) -> ILQGResult:
     """Solve the optimal control problem from initial state ``x0`` (shape
     ``(n,)`` — initial rollout performed, ``src/iLQG.jl:181-192``) or from a
     pre-rolled trajectory ``x0`` of shape ``(T, n)`` with optional per-step
     ``cost0`` (``src/iLQG.jl:193-197``). ``u0``: initial controls ``(T, m)``.
+
+    ``iter_callback``: optional host callback — the reference's per-iteration
+    ``plotFn`` hook (``src/iLQG.jl:160,330``) — invoked each iteration as
+    ``f(it, x, u, cost, accepted)`` with NumPy arrays via an ordered
+    ``io_callback`` (single-solve use; do not combine with ``vmap``).
 
     Fully jittable; batch with ``jax.vmap`` over leading axes of
     ``x0``/``u0`` (and ``lims`` if per-scenario).
     """
     pre_rolled = x0.ndim == 2
     x0 = jnp.asarray(x0, u0.dtype)
-    return _ilqg_impl(problem, x0, u0, lims, cfg, cost0, pre_rolled)
+    return _ilqg_impl(problem, x0, u0, lims, cfg, cost0, pre_rolled,
+                      iter_callback)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("problem", "cfg", "pre_rolled"))
-def _ilqg_impl(problem, x0, u0, lims, cfg, cost0, pre_rolled):
+                   static_argnames=("problem", "cfg", "pre_rolled",
+                                    "iter_callback"))
+def _ilqg_impl(problem, x0, u0, lims, cfg, cost0, pre_rolled,
+               iter_callback=None):
     T, m = u0.shape
     n = x0.shape[-1]
     dtype = u0.dtype
@@ -268,13 +282,16 @@ def _ilqg_impl(problem, x0, u0, lims, cfg, cost0, pre_rolled):
         pol_k = jnp.where(accept, u_new, bp.policy.k)
         policy = bp.policy._replace(k=pol_k)
 
+        if cfg.verbosity > 2:
+            _pr.ilqg_cholesky_failed(
+                jnp.where(bp.diverged, bp.diverge_idx, 0))
         if cfg.verbosity > 1:
-            jax.debug.print(
-                "iter {i:>4}  cost {c:12.6g}  reduction {d:10.3g}  "
-                "expected {e:10.3g}  gradient {g:10.3g}  log10(lam) {l:6.1f}"
-                "  accept {a}",
-                i=c.it, c=jnp.sum(c.cost), d=ls.dcost, e=ls.expected,
-                g=g_norm, l=jnp.log10(lam_new), a=accept)
+            _pr.ilqg_row(c.it, jnp.sum(c.cost), ls.dcost, ls.expected,
+                         g_norm, lam_new, accept, cfg.print_head)
+        if iter_callback is not None:
+            from jax.experimental import io_callback
+            io_callback(iter_callback, None, c.it, x_new, u_new,
+                        cost_new, accept, ordered=True)
 
         trace = _write_trace(
             c.trace, c.it, cap,
@@ -294,10 +311,16 @@ def _ilqg_impl(problem, x0, u0, lims, cfg, cost0, pre_rolled):
             done=done, reason=reason.astype(jnp.int32),
             trace=trace, g_norm=g_norm)
 
+    if cfg.verbosity > 0:
+        _pr.ilqg_begin()
+
     c = lax.while_loop(loop_cond, loop_body, carry0)
 
     reason = jnp.where((c.reason == 0) & (c.accepted > cfg.max_iter),
                        4, c.reason).astype(jnp.int32)
+
+    if cfg.verbosity > 0:
+        _pr.ilqg_exit(reason, c.it - 1, jnp.sum(c.cost), c.g_norm, c.lam)
 
     return ILQGResult(
         x=c.x, u=c.u, policy=c.policy, Vx=c.Vx, Vxx=c.Vxx, cost=c.cost,

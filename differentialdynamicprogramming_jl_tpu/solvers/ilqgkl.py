@@ -47,6 +47,8 @@ class ILQGKLConfig:
     del0: float = 1e-4
     gd_alpha: float = 0.01          # ADAM step for per-timestep η
     verbosity: int = 0
+    print_head: int = 10            # src/iLQGkl.jl:32
+    print_period: int = 1           # src/iLQGkl.jl:33
     qp_max_iter: int = 100
     # retry-loop safety: the reference's scalar η-escalation loop has no
     # abort (src/iLQGkl.jl:111-121 commented out); we abort once η exceeds
@@ -226,11 +228,15 @@ def _ilqgkl_impl(problem, x0, traj_prev, model, cost0, lims, cfg):
         done = satisfied | eta_maxed | bp_aborted
 
         if cfg.verbosity > 1:
-            jax.debug.print(
-                "iter {i:>4}  est.cost {c:12.6g}  reduction {d:10.3g}  "
-                "gradient {g:10.3g}  log10(eta) {e:8.2f}  divergence {v:10.3g}",
-                i=c.it, c=jnp.sum(ro.cost), d=dcost, g=g_norm,
-                e=jnp.log10(jnp.mean(eb[1])), v=jnp.mean(divergence))
+            # reference period table (src/iLQGkl.jl:151-159): est. cost,
+            # reduction, expected (α=1 → -(dV₁+dV₂)), gradient, log10(η),
+            # mean divergence, policy entropy
+            from ..utils import printing as _pr
+            expected = -(bp.dV[0] + bp.dV[1])
+            ent = entropy(bp.policy)
+            _pr.ilqgkl_row(c.it, jnp.sum(ro.cost), dcost, expected, g_norm,
+                           jnp.mean(eb[1]), jnp.mean(divergence), ent,
+                           cfg.print_head, cfg.print_period)
 
         trace = _wt(c.trace, c.it, cap,
                     alpha=jnp.ones((), dtype), improvement=dcost,
@@ -252,6 +258,10 @@ def _ilqgkl_impl(problem, x0, traj_prev, model, cost0, lims, cfg):
     kl_violated = jnp.any((c.divergence > kl_step)
                           & (jnp.abs(c.divergence - kl_step)
                              > 0.1 * kl_step))   # src/iLQGkl.jl:248
+    if cfg.verbosity > 0:
+        from ..utils import printing as _pr
+        eta_maxed = jnp.all(c.eta_bracket[1] > 0.999 * c.eta_bracket[2])
+        _pr.ilqgkl_exit(c.satisfied, eta_maxed, kl_violated)
     return ILQGKLResult(
         x=c.x_new, u=c.u_new, policy=policy, Vx=c.Vx, Vxx=c.Vxx,
         cost=c.cost_new, trace=c.trace, n_iters=c.it - 1,
