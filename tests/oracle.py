@@ -217,3 +217,170 @@ def ilqg_np(dyn, traj_cost, derivs_fn, x0, u0, lims=None,
         it += 1
     return dict(x=x, u=u, cost=cost, k=k, K=K, Vx=Vx, Vxx=Vxx,
                 iters=it, accepted=accepted, g_norm=g_norm, lam=lam)
+
+
+# ---------------------------------------------------------------------------
+# GPS / iLQGkl oracle (reference src/iLQGkl.jl, back_pass_gps, klutils.jl)
+# ---------------------------------------------------------------------------
+
+def grad_kl_np(Kp, kp, Sip):
+    """∇kl (src/klutils.jl:8-23): cx=K'Σ⁻¹k, cu=-Σ⁻¹k, cxx=K'Σ⁻¹K,
+    cxu=-Σ⁻¹K, cuu=Σ⁻¹ per timestep."""
+    T, m, n = Kp.shape
+    cx = np.zeros((T, n)); cu = np.zeros((T, m))
+    cxx = np.zeros((T, n, n)); cxu = np.zeros((T, m, n))
+    cuu = np.zeros((T, m, m))
+    for t in range(T):
+        Sik = Sip[t] @ kp[t]
+        cx[t] = Kp[t].T @ Sik
+        cu[t] = -Sik
+        cxx[t] = Kp[t].T @ Sip[t] @ Kp[t]
+        cxu[t] = -Sip[t] @ Kp[t]
+        cuu[t] = Sip[t]
+    return cx, cu, cxx, cxu, cuu
+
+
+def back_pass_gps_np(derivs, u, eta, lims, kl):
+    """back_pass_gps (src/backward_pass.jl:259-350): Q terms scaled 1/η and
+    augmented with the KL expansion; no λ; Σ=Quu⁻¹, Σi=Quu."""
+    fx, fu, cx, cu, cxx, cxu, cuu = derivs
+    cxkl, cukl, cxxkl, cxukl, cuukl = kl
+    T, m = u.shape
+    n = cx.shape[1]
+    k = np.zeros((T, m)); K = np.zeros((T, m, n))
+    Vx = np.zeros((T, n)); Vxx = np.zeros((T, n, n))
+    Quu_all = np.zeros((T, m, m)); Quui_all = np.zeros((T, m, m))
+    dV = np.zeros(2)
+    Vx[T - 1] = cx[T - 1]
+    Vxx[T - 1] = cxx[T - 1]
+    Quu_all[T - 1] = cuu[T - 1] / eta + cuukl[T - 1]
+    Quui_all[T - 1] = np.linalg.inv(Quu_all[T - 1])
+    for i in range(T - 2, -1, -1):
+        Qu = cu[i] + fu[i].T @ Vx[i + 1]
+        Qx = cx[i] + fx[i].T @ Vx[i + 1]
+        Qux = cxu[i].T + fu[i].T @ Vxx[i + 1] @ fx[i]
+        Quu = cuu[i] + fu[i].T @ Vxx[i + 1] @ fu[i]
+        Qxx = cxx[i] + fx[i].T @ Vxx[i + 1] @ fx[i]
+        Qu = Qu / eta + cukl[i]
+        Qux = Qux / eta + cxukl[i]
+        Quu = Quu / eta + cuukl[i]
+        Qx = Qx / eta + cxkl[i]
+        Qxx = Qxx / eta + cxxkl[i]
+        Quu = 0.5 * (Quu + Quu.T)
+        if lims is None:
+            try:
+                R = np.linalg.cholesky(Quu)
+            except np.linalg.LinAlgError:
+                return i + 1, (k, K, Quu_all, Quui_all), Vx, Vxx, dV
+            k_i = -np.linalg.solve(R.T, np.linalg.solve(R, Qu))
+            K_i = -np.linalg.solve(R.T, np.linalg.solve(R, Qux))
+        else:
+            lower = lims[:, 0] - u[i]
+            upper = lims[:, 1] - u[i]
+            k_i, result, Hfree, free = boxqp_np(
+                Quu, Qu, lower, upper, k[min(i + 1, T - 2)])
+            if result < 1:
+                return i + 1, (k, K, Quu_all, Quui_all), Vx, Vxx, dV
+            K_i = np.zeros((m, n))
+            if free.any():
+                K_i[free] = -np.linalg.solve(
+                    Hfree, np.linalg.solve(Hfree.T, Qux[free]))
+        dV += [k_i @ Qu, 0.5 * k_i @ Quu @ k_i]
+        Vx[i] = Qx + K_i.T @ Quu @ k_i + K_i.T @ Qu + Qux.T @ k_i
+        Vxx[i] = Qxx + K_i.T @ Quu @ K_i + K_i.T @ Qux + Qux.T @ K_i
+        Vxx[i] = 0.5 * (Vxx[i] + Vxx[i].T)
+        k[i] = k_i; K[i] = K_i
+        Quu_all[i] = Quu
+        Quui_all[i] = np.linalg.inv(Quu)
+    return 0, (k, K, Quu_all, Quui_all), Vx, Vxx, dV
+
+
+def forward_cov_np(fx, R1, K, Sigma):
+    """forward_covariance (src/forward_pass.jl:37-56): joint (n+m)² state-
+    control covariance by iterated discrete Lyapunov."""
+    T, n, _ = fx.shape
+    m = K.shape[1]
+    S = np.zeros((T, n + m, n + m))
+    S[0, :n, :n] = R1
+    for i in range(T - 1):
+        Sxx = S[i, :n, :n]
+        S[i + 1, :n, :n] = fx[i] @ Sxx @ fx[i].T + R1
+        S[i, n:, :n] = K[i] @ Sxx
+        S[i, :n, n:] = Sxx @ K[i].T
+        S[i, n:, n:] = K[i] @ Sxx @ K[i].T + Sigma[i]
+    return S
+
+
+def kl_div_wiki_np(xnew, xold, Snew, kn, Kn, Sn, kp, Kp, Sp, Sip):
+    """kl_div_wiki (src/klutils.jl:70-100)."""
+    T, n = xnew.shape
+    m = kn.shape[1]
+    out = np.zeros(T)
+    for t in range(T):
+        mu = xnew[t] - xold[t]
+        St = Snew[t, :n, :n]
+        kd = kp[t] - kn[t]
+        Kd = Kp[t] - Kn[t]
+        v = 0.5 * (np.trace(Sip[t] @ Sn[t]) + kd @ Sip[t] @ kd - m
+                   + np.linalg.slogdet(Sp[t])[1]
+                   - np.linalg.slogdet(Sn[t])[1])
+        v += 0.5 * (mu @ Kd.T @ Sip[t] @ Kd @ mu
+                    + np.trace(Kd.T @ Sip[t] @ Kd @ St))
+        v += kd @ Sip[t] @ Kd @ mu
+        out[t] = max(0.0, v)
+    return out
+
+
+def ilqgkl_np(dyn, traj_cost, derivs_fn, x, traj_prev, cost0, fx_model, R1,
+              kl_step=1.0, max_iter=50, eta_bracket=(1e-8, 1.0, 1e16),
+              del0=1e-4, lims=None):
+    """Scalar-η iLQGkl with the reference's exact control flow
+    (src/iLQGkl.jl:25-181): nominal (x, u) fixed for the whole loop,
+    derivatives once, α=1 forward passes, η bracketing via calc_η,
+    unconditional acceptance of the last iterate."""
+    kp_orig = traj_prev["k"].copy()
+    u = kp_orig.copy()
+    T, m = u.shape
+    kp = np.zeros_like(u)                          # src/iLQGkl.jl:51-52
+    Kp, Sp, Sip = traj_prev["K"], traj_prev["sigma"], traj_prev["sigma_inv"]
+    kl = grad_kl_np(Kp, kp, Sip)
+    derivs = derivs_fn(x, u)                       # once (src/iLQGkl.jl:88)
+    eb = np.array(eta_bracket, float)
+    delta = float(del0)
+    cost = np.asarray(cost0, float)
+    xnew = unew = costnew = None
+    divergence = 0.0
+    satisfied = False
+    it = 0
+    for it in range(1, max_iter + 1):
+        while True:                                # η-inflation retry
+            div, pol, Vx, Vxx, dV = back_pass_gps_np(derivs, u, eb[1],
+                                                     lims, kl)
+            if div == 0:
+                break
+            eb[1] += delta                         # src/iLQGkl.jl:104-106
+            delta *= 2.0
+            assert eb[1] <= eb[2], "eta escalation exhausted the bracket"
+        k, K, Quu, Quui = pol
+        xnew, unew, costnew = forward_np(dyn, traj_cost, x[0], u, x, 1.0,
+                                         (k, K), lims)
+        Snew = forward_cov_np(fx_model, R1, K, Quui)   # traj.Σ = Quu⁻¹
+        kn = k + kp                                # src/iLQGkl.jl:137
+        div_t = kl_div_wiki_np(xnew, x, Snew, kn, K, Quui, kp, Kp, Sp, Sip)
+        divergence = float(np.mean(div_t))
+        violation = divergence - kl_step           # calc_η, klutils.jl:110
+        satisfied = abs(violation) < 0.1 * kl_step
+        if not satisfied:
+            if violation < 0:                      # η too big
+                eb[2] = eb[1]
+                eb[1] = max(np.sqrt(eb[0] * eb[2]), 0.1 * eb[2])
+            else:                                  # η too small
+                eb[0] = eb[1]
+                eb[1] = min(np.sqrt(eb[0] * eb[2]), 10.0 * eb[0])
+        if satisfied:
+            break
+        if eb[1] > 0.999 * eb[2]:
+            break
+    # unconditional acceptance (src/iLQGkl.jl:239-241)
+    return dict(x=xnew, u=unew, cost=costnew, eta=eb[1], bracket=eb,
+                divergence=divergence, satisfied=satisfied, iters=it)

