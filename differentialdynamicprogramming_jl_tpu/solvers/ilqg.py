@@ -58,6 +58,14 @@ class ILQGConfig:
     verbosity: int = 0
     print_head: int = 10            # header every N rows (src/iLQG.jl:162)
     qp_max_iter: int = 100
+    # backward-pass engine: "scan" = sequential T recursion (reference
+    # semantics at any λ); "parallel" = O(log T) associative-scan Riccati
+    # (ops/riccati_scan.py) used automatically whenever the iteration is in
+    # the unconstrained λ≈0 regime (λ ≤ 10·lam_min, no limits, no GPS mode,
+    # first-order dynamics), with the sequential recursion as fallback —
+    # λ escalation after a divergence lands in the sequential branch.
+    # Long-horizon/small-batch regime only; see tools/bench_riccati.py.
+    backward: str = "scan"
     # total-iteration cap (accepted + rejected); the reference's loop counts
     # only accepted iterations (src/iLQG.jl:222) and is unbounded in rejects,
     # but each reject multiplies λ by ≥λfactor so rejects are bounded by
@@ -118,10 +126,23 @@ def backward_with_retry(derivs, u, lam, dlam, cfg: ILQGConfig, lims,
     """λ-adaptive backward pass (``src/iLQG.jl:234-251``): on divergence,
     escalate λ and re-run until PD or λ > λmax."""
 
-    def run(lam_):
+    def run_seq(lam_):
         return backward_pass(derivs, u, lam_, reg_type=cfg.reg_type,
                              lims=lims, use_limits=use_limits,
                              qp_max_iter=cfg.qp_max_iter)
+
+    second_order = derivs.fxx is not None
+    if cfg.backward == "parallel" and not use_limits and not second_order:
+        from ..ops.riccati_scan import parallel_riccati
+
+        def run(lam_):
+            # the associative-scan pass is exact only at λ=0; once λ has
+            # escalated past the floor the sequential recursion takes over
+            return lax.cond(lam_ <= 10.0 * cfg.lam_min,
+                            lambda: parallel_riccati(derivs, u),
+                            lambda: run_seq(lam_))
+    else:
+        run = run_seq
 
     out0 = run(lam)
 

@@ -59,3 +59,29 @@ def test_cross_terms_reduction():
     d = d._replace(cxu=cxu)
     _cmp(backward_pass(d, ro.u, lam=0.0, reg_type=1),
          parallel_riccati(d, ro.u))
+
+
+def test_ilqg_with_parallel_backward():
+    """ILQGConfig(backward='parallel'): the driver runs the associative-scan
+    Riccati whenever λ is at the floor (automatic sequential fallback above
+    it) and converges to the same solution as the sequential engine."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from differentialdynamicprogramming_jl_tpu import ilqg, ILQGConfig
+    from differentialdynamicprogramming_jl_tpu.models.linear import (
+        random_lti, make_lti_problem)
+    T = 80
+    spec = random_lti(jax.random.PRNGKey(0), n=6, m=2, T=T,
+                      dtype=jnp.float64)
+    prob = make_lti_problem(spec, T)
+    ref = ilqg(prob, spec.x0, spec.u0,
+               cfg=ILQGConfig(max_iter=30, lam=1e-6))
+    par = ilqg(prob, spec.x0, spec.u0,
+               cfg=ILQGConfig(max_iter=30, lam=1e-6, backward="parallel"))
+    np.testing.assert_allclose(float(jnp.sum(par.cost)),
+                               float(jnp.sum(ref.cost)), rtol=1e-8)
+    # the parallel engine treats λ ≤ 10·lam_min as exactly 0, so controls
+    # agree at solution level, not bitwise (documented approximation)
+    np.testing.assert_allclose(np.asarray(par.u), np.asarray(ref.u),
+                               atol=1e-3)
