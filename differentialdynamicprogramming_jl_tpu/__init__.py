@@ -32,6 +32,7 @@ from .solvers.batch import (ilqg_batch_lanes, ilqg_iteration_lanes,
                             BatchILQGResult, BatchTrace)
 from .solvers.batch_kl import (ilqgkl_batch_lanes, BatchKLResult,
                                BatchKLTrace)
+from .solvers.fleet import ilqg_fleet
 
 __version__ = "0.1.0"
 
@@ -48,4 +49,5 @@ __all__ = [
     "ilqg_kl", "ILQGKLConfig",
     "ilqg_batch_lanes", "ilqg_iteration_lanes", "BatchILQGResult",
     "BatchTrace", "ilqgkl_batch_lanes", "BatchKLResult", "BatchKLTrace",
+    "ilqg_fleet",
 ]

@@ -171,7 +171,7 @@ def _sharded_lane_solver(model, packed_derivs, derivs_tiles, lims, cfg,
             K=P(axis), k=P(axis), sigma=P(axis), sigma_inv=P(axis)),
         Vx=P(axis), Vxx=P(axis), cost=P(axis), cost_total=P(axis),
         n_iters=P(axis), n_accepted=P(axis), reason=P(axis), lam=P(axis),
-        g_norm=P(axis))
+        dlam=P(axis), g_norm=P(axis))
     out_specs = (res_specs, P()) if reduce_stats else res_specs
     return jax.jit(jax.shard_map(solve_shard, mesh=mesh,
                                  in_specs=(P(axis), P(axis)),

@@ -35,8 +35,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..policy import GaussianPolicy
-from ..ops.pallas.pack import (to_lanes, from_lanes, vec_from_lanes,
-                               padded_batch)
+from ..ops.pallas.pack import (to_lanes, from_lanes, vec_to_lanes,
+                               vec_from_lanes, padded_batch)
 from ..ops.pallas.backward_kernel import OutLayout, backward_lanes
 from ..ops.pallas.forward_kernel import LanesModel, forward_lanes
 from .ilqg import ILQGConfig
@@ -72,6 +72,7 @@ class BatchILQGResult(NamedTuple):
     n_accepted: jax.Array  # (B,)
     reason: jax.Array     # (B,) exit codes as solvers.ilqg
     lam: jax.Array        # (B,)
+    dlam: jax.Array       # (B,)
     g_norm: jax.Array     # (B,)
     trace: Optional[BatchTrace] = None   # with record_trace=True
 
@@ -139,6 +140,9 @@ def ilqg_batch_lanes(model: LanesModel,
                      params: Optional[jax.Array] = None,
                      cost0: Optional[jax.Array] = None,
                      warm_start: bool = False,
+                     lam0: Optional[jax.Array] = None,
+                     dlam0: Optional[jax.Array] = None,
+                     accepted0: Optional[jax.Array] = None,
                      kt_backward: int = 25,
                      kt_forward: int = 10,
                      record_trace: bool = False,
@@ -160,6 +164,11 @@ def ilqg_batch_lanes(model: LanesModel,
     - ``warm_start``: with (B, n) ``x0s``, skip the initial α-sweep and
       roll ``u0s`` open-loop at α=1 (one kernel pass instead of two — the
       MPC re-roll of a shifted plan from newly measured states).
+    - ``lam0``/``dlam0``/``accepted0``: optional per-scenario (B,) initial
+      λ / dλ / accepted-iteration counters — the RESUME entry: a solve
+      continued from a prior :class:`BatchILQGResult` (pre-rolled ``x0s`` +
+      these three) behaves like one uninterrupted solve (λ schedule and
+      iteration budget carry over; see :mod:`.fleet`).
     - ``params``: optional per-scenario dynamics/cost parameters (B, P) for
       heterogeneous fleets (requires a parametrized ``model``/
       ``derivs_tiles`` with ``n_params == P``).
@@ -269,13 +278,20 @@ def ilqg_batch_lanes(model: LanesModel,
     else:
         trace0 = None
 
+    lam_init = (vec_to_lanes(lam0.astype(f32)) if lam0 is not None
+                else cfg.lam * ones)
+    dlam_init = (vec_to_lanes(dlam0.astype(f32)) if dlam0 is not None
+                 else cfg.dlam * ones)
+    acc_init = (vec_to_lanes(accepted0.astype(jnp.int32)) + 1
+                if accepted0 is not None else jnp.ones(L, jnp.int32))
+
     carry0 = _Carry(
         traj=traj_init, bwd_in=bwd_in0, cost_tot=tot_init,
-        lam=cfg.lam * ones, dlam=cfg.dlam * ones,
+        lam=lam_init, dlam=dlam_init,
         bo=jnp.zeros((T, lay.S) + L, f32),
         done=(~any0) | (~lane_valid),
         reason=jnp.where(any0, 0, 5).astype(jnp.int32),
-        accepted=jnp.ones(L, jnp.int32),
+        accepted=acc_init,
         it=jnp.ones((), jnp.int32),
         it_lane=jnp.zeros(L, jnp.int32),
         g_norm=zeros, trace=trace0)
@@ -445,6 +461,7 @@ def ilqg_batch_lanes(model: LanesModel,
         n_accepted=vec_from_lanes(c.accepted, B) - 1,
         reason=vec_from_lanes(reason, B),
         lam=vec_from_lanes(c.lam, B),
+        dlam=vec_from_lanes(c.dlam, B),
         g_norm=vec_from_lanes(c.g_norm, B),
         trace=(BatchTrace(*[jnp.transpose(f.reshape(cap, -1)[:, :B])
                             for f in c.trace]) if record_trace else None),

@@ -12,8 +12,7 @@ of scenarios at once in lane layout:
   evaluated elementwise on lane arrays (no scan — XLA fuses it);
 - per-scenario η brackets, divergence retries, satisfaction tests.
 
-Restrictions: m ≤ 2, f32, scalar-η mode (the per-timestep-η ADAM variant
-stays on the XLA path, ``solvers/ilqgkl.py``).
+Restrictions: f32 (the XLA path ``solvers/ilqgkl.py`` covers f64).
 """
 from __future__ import annotations
 
@@ -33,13 +32,18 @@ from .ilqgkl import ILQGKLConfig
 
 
 def _logdet_tiles(S, m):
-    """log det of an m×m slot stream (T, m², L) — unrolled, m ≤ 2."""
+    """log det of an m×m slot stream (T, m², L) — unrolled over m
+    (closed-form for m ≤ 2, Cholesky diagonal product above)."""
     if m == 1:
         return jnp.log(S[:, 0])
     if m == 2:
         det = S[:, 0] * S[:, 3] - S[:, 1] * S[:, 2]
         return jnp.log(jnp.maximum(det, 1e-30))
-    raise NotImplementedError("lane kl: m > 2")
+    from ..ops.pallas.backward_kernel import _tiny_chol
+    M = [[S[:, i * m + j] for j in range(m)] for i in range(m)]
+    L, _ok = _tiny_chol(M, m)
+    return 2.0 * sum(jnp.log(jnp.maximum(L[j][j], 1e-30))
+                     for j in range(m))
 
 
 def kl_div_wiki_lanes(mu, sxx, k_n, K_n, S_n, k_p, K_p, Si_p,

@@ -78,14 +78,18 @@ def ilqg_kl(problem: Problem,
             model,
             cost0: jax.Array,
             lims: Optional[jax.Array] = None,
-            cfg: ILQGKLConfig = ILQGKLConfig()) -> ILQGKLResult:
+            cfg: ILQGKLConfig = ILQGKLConfig(),
+            iter_callback=None) -> ILQGKLResult:
     """Solve the KL-constrained problem from the pre-rolled trajectory ``x0``
     ``(T, n)`` around ``traj_prev`` (whose ``k`` is the nominal control
     sequence, ``src/iLQGkl.jl:47``). ``model`` supplies the linearization and
     prediction covariance for :func:`forward_covariance`
-    (``src/iLQGkl.jl:135``)."""
+    (``src/iLQGkl.jl:135``). ``iter_callback``: per-iteration host hook
+    ``f(it, x, u, cost)`` (the reference's ``plot_fun``,
+    ``src/iLQGkl.jl:177``; single-solve use, not vmappable)."""
     assert x0.ndim == 2, "iLQGkl requires a pre-rolled trajectory (T, n)"
-    return _ilqgkl_impl(problem, x0, traj_prev, model, cost0, lims, cfg)
+    return _ilqgkl_impl(problem, x0, traj_prev, model, cost0, lims, cfg,
+                        iter_callback)
 
 
 class _Carry(NamedTuple):
@@ -106,8 +110,10 @@ class _Carry(NamedTuple):
     g_norm: jax.Array
 
 
-@functools.partial(jax.jit, static_argnames=("problem", "cfg"))
-def _ilqgkl_impl(problem, x0, traj_prev, model, cost0, lims, cfg):
+@functools.partial(jax.jit,
+                   static_argnames=("problem", "cfg", "iter_callback"))
+def _ilqgkl_impl(problem, x0, traj_prev, model, cost0, lims, cfg,
+                 iter_callback=None):
     T, m = traj_prev.k.shape
     n = x0.shape[-1]
     dtype = x0.dtype
@@ -237,6 +243,11 @@ def _ilqgkl_impl(problem, x0, traj_prev, model, cost0, lims, cfg):
             _pr.ilqgkl_row(c.it, jnp.sum(ro.cost), dcost, expected, g_norm,
                            jnp.mean(eb[1]), jnp.mean(divergence), ent,
                            cfg.print_head, cfg.print_period)
+
+        if iter_callback is not None:
+            from jax.experimental import io_callback
+            io_callback(iter_callback, None, c.it, ro.x, ro.u, ro.cost,
+                        ordered=True)
 
         trace = _wt(c.trace, c.it, cap,
                     alpha=jnp.ones((), dtype), improvement=dcost,

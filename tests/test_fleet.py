@@ -1,0 +1,42 @@
+"""Fleet scheduler (solvers/fleet.py): chunked + straggler-compacted solves
+must reproduce the single lock-step solve exactly (the resume entry carries
+λ/dλ/accepted counters, so composition is semantically one solve)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from differentialdynamicprogramming_jl_tpu.models.pendcart import (
+    PendCartSpec, default_x0, pendcart_lanes, pendcart_derivs_tiles)
+from differentialdynamicprogramming_jl_tpu.solvers.ilqg import (
+    ILQGConfig, default_alphas)
+from differentialdynamicprogramming_jl_tpu.solvers.batch import (
+    ilqg_batch_lanes)
+from differentialdynamicprogramming_jl_tpu.solvers.fleet import ilqg_fleet
+
+
+def test_fleet_matches_lockstep():
+    B, T = 8, 6
+    spec = PendCartSpec()
+    x0s = (default_x0(jnp.float32)[None, :]
+           + 0.1 * jax.random.normal(jax.random.PRNGKey(0), (B, 4),
+                                     jnp.float32))
+    u0s = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (B, T, 1),
+                                  jnp.float32)
+    cfg = ILQGConfig(alphas=default_alphas(0.2, -3.0, 3), reg_type=2,
+                     max_iter=6, iter_cap=10)
+    kw = dict(lims=((-5.0, 5.0),), cfg=cfg,
+              derivs_tiles=pendcart_derivs_tiles(spec),
+              kt_backward=2, kt_forward=2, interpret=True)
+    ref = ilqg_batch_lanes(pendcart_lanes(spec), None, x0s, u0s, **kw)
+    fl = ilqg_fleet(pendcart_lanes(spec), None, x0s, u0s, chunk_iters=2,
+                    **kw)
+    np.testing.assert_allclose(np.asarray(fl.cost_total),
+                               np.asarray(ref.cost_total), rtol=2e-4)
+    np.testing.assert_array_equal(np.asarray(fl.reason),
+                                  np.asarray(ref.reason))
+    np.testing.assert_array_equal(np.asarray(fl.n_accepted),
+                                  np.asarray(ref.n_accepted))
+    np.testing.assert_allclose(np.asarray(fl.u), np.asarray(ref.u),
+                               atol=1e-4)
+    # total loop iterations across chunks ≥ the lock-step count per scenario
+    assert np.all(np.asarray(fl.n_iters) >= np.asarray(ref.n_iters))
