@@ -125,12 +125,27 @@ def _eval_terminal_lanes(model, xT, par_l):
     return model.terminal(xs)
 
 
+def ilqg_batch_lanes(model, packed_derivs, x0s, u0s, *args,
+                     max_steps=None, cfg: ILQGConfig = ILQGConfig(),
+                     **kwargs):
+    """Public entry — see :func:`_ilqg_batch_lanes_jit` for the full
+    signature/docs. Fills ``max_steps`` (always passed as a traced scalar)
+    OUTSIDE the jit boundary, so bounded fleet-scheduler chunks and plain
+    unbounded solves with the same cfg share one compiled program."""
+    if max_steps is None:
+        max_steps = cfg.cap() - 1
+    return _ilqg_batch_lanes_jit(model, packed_derivs, x0s, u0s, *args,
+                                 cfg=cfg,
+                                 max_steps=jnp.asarray(max_steps, jnp.int32),
+                                 **kwargs)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("model", "packed_derivs", "derivs_tiles", "lims", "cfg",
                      "warm_start", "kt_backward", "kt_forward",
                      "record_trace", "interpret"))
-def ilqg_batch_lanes(model: LanesModel,
+def _ilqg_batch_lanes_jit(model: LanesModel,
                      packed_derivs: Optional[Callable],
                      x0s: jax.Array,
                      u0s: jax.Array,
@@ -143,6 +158,7 @@ def ilqg_batch_lanes(model: LanesModel,
                      lam0: Optional[jax.Array] = None,
                      dlam0: Optional[jax.Array] = None,
                      accepted0: Optional[jax.Array] = None,
+                     max_steps: Optional[jax.Array] = None,
                      kt_backward: int = 25,
                      kt_forward: int = 10,
                      record_trace: bool = False,
@@ -169,6 +185,10 @@ def ilqg_batch_lanes(model: LanesModel,
       continued from a prior :class:`BatchILQGResult` (pre-rolled ``x0s`` +
       these three) behaves like one uninterrupted solve (λ schedule and
       iteration budget carry over; see :mod:`.fleet`).
+    - ``max_steps``: optional TRACED scalar bounding this call's loop trips
+      below ``cfg.cap()`` — lets the fleet scheduler vary the chunk length
+      without changing the compiled program (a different static
+      ``iter_cap`` is a fresh multi-minute cold compile).
     - ``params``: optional per-scenario dynamics/cost parameters (B, P) for
       heterogeneous fleets (requires a parametrized ``model``/
       ``derivs_tiles`` with ``n_params == P``).
@@ -296,8 +316,10 @@ def ilqg_batch_lanes(model: LanesModel,
         it_lane=jnp.zeros(L, jnp.int32),
         g_norm=zeros, trace=trace0)
 
+    cap_rt = jnp.minimum(jnp.asarray(max_steps, jnp.int32) + 1, cap)
+
     def loop_cond(c: _Carry):
-        return (~jnp.all(c.done)) & (c.it < cap)
+        return (~jnp.all(c.done)) & (c.it < cap_rt)
 
     def loop_body(c: _Carry) -> _Carry:
         active = ~c.done

@@ -11,22 +11,44 @@ them, using the lane driver's resume entry (pre-rolled trajectory + carried
 uninterrupted solve per scenario.
 
 The reference has no analogue (single-problem library); this is the
-TPU-native fleet-throughput component the framework adds. Host-side control
-(index gathering) runs between chunks; each distinct compacted batch size
-compiles once (sizes are padded to the 1024-lane tile, so there are at most
-log₂(B/1024)+1 distinct executables).
+TPU-native fleet-throughput component the framework adds. Performance
+rules it obeys (hard-won — see CLAUDE.md):
+
+- the chunk length is a TRACED scalar (`max_steps`), so every chunk — and a
+  user's plain lock-step solve with the same cfg — shares one compiled
+  program per batch size (a static per-chunk iter_cap cold-compiles the
+  whole driver for minutes per value);
+- compacted batches are padded to the 1024-lane tile on the host, so all
+  straggler chunks share one executable (at most two programs total:
+  cold-entry at B, resume-entry at the padded straggler size);
+- trajectory-sized state (x, u, Vxx, policy, …) never leaves the device
+  between chunks — gather/scatter run as XLA ops with the padded index set
+  (duplicate pad indices re-solve the same scenario, so duplicate scatter
+  writes are identical); only (B,)-sized vectors cross to the host.
 """
 from __future__ import annotations
 
 from typing import Callable, Optional, Tuple
 
-import dataclasses
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from .batch import BatchILQGResult, ilqg_batch_lanes
 from .ilqg import ILQGConfig
+from ..ops.pallas.pack import B_TILE
+
+_BIG = ("x", "u", "Vx", "Vxx", "cost")
+_POL = ("K", "k", "sigma", "sigma_inv")
+_SMALL = ("cost_total", "n_iters", "n_accepted", "reason", "lam", "dlam",
+          "g_norm")
+
+
+@jax.jit
+def _scatter(dst, src, gidx):
+    return dst.at[gidx].set(src)
+
 
 def ilqg_fleet(model,
                packed_derivs: Optional[Callable],
@@ -52,28 +74,26 @@ def ilqg_fleet(model,
     total across chunks.
     """
     B = u0s.shape[0]
+    params_np = None if params is None else np.asarray(params)
 
-    def run(x0s_, u0s_, cost0_, lam0_, dlam0_, acc0_, params_, cap):
-        c = dataclasses.replace(cfg, iter_cap=cap)
+    def run(x0s_, u0s_, cost0_, lam0_, dlam0_, acc0_, params_, steps):
         return ilqg_batch_lanes(
-            model, packed_derivs, x0s_, u0s_, lims=lims, cfg=c,
+            model, packed_derivs, x0s_, u0s_, lims=lims, cfg=cfg,
             derivs_tiles=derivs_tiles, params=params_, cost0=cost0_,
             lam0=lam0_, dlam0=dlam0_, accepted0=acc0_,
+            max_steps=jnp.int32(steps),
             kt_backward=kt_backward, kt_forward=kt_forward,
             interpret=interpret)
 
     # ---- chunk 1: full fleet, cold start
-    res = run(x0s, u0s, None, None, None, None, params, chunk_iters + 1)
+    res = run(x0s, u0s, None, None, None, None, params, chunk_iters)
 
-    # numpy accumulators for the merged result
-    acc = {f: np.array(getattr(res, f)) for f in
-           ("x", "u", "Vx", "Vxx", "cost", "cost_total", "n_iters",
-            "n_accepted", "reason", "lam", "dlam", "g_norm")}
-    pol = {f: np.array(getattr(res.policy, f))
-           for f in ("K", "k", "sigma", "sigma_inv")}
+    big = {f: getattr(res, f) for f in _BIG}          # stays on device
+    pol = {f: getattr(res.policy, f) for f in _POL}   # stays on device
+    small = {f: np.array(getattr(res, f)) for f in _SMALL}
 
     for chunk in range(1, max_chunks):
-        unfinished = acc["reason"] == 0
+        unfinished = small["reason"] == 0
         n_left = int(unfinished.sum())
         if verbose:
             print(f"  fleet chunk {chunk}: {n_left}/{B} scenarios "
@@ -81,34 +101,31 @@ def ilqg_fleet(model,
         if n_left == 0:
             break
         idx = np.flatnonzero(unfinished)
-        # compact (the driver pads to the 1024-lane tile internally)
-        sub = run(jnp.asarray(acc["x"][idx]), jnp.asarray(acc["u"][idx]),
-                  jnp.asarray(acc["cost"][idx]),
-                  jnp.asarray(acc["lam"][idx]),
-                  jnp.asarray(acc["dlam"][idx]),
-                  jnp.asarray(acc["n_accepted"][idx]),
-                  None if params is None else jnp.asarray(
-                      np.asarray(params)[idx]),
-                  chunk_iters + 1)
-        for f in acc:
-            v = np.asarray(getattr(sub, f))
+        k = len(idx)
+        kp = max(B_TILE, -(-k // B_TILE) * B_TILE)
+        gidx_np = np.concatenate([idx, np.repeat(idx[:1], kp - k)])
+        gidx = jnp.asarray(gidx_np)
+        sub = run(big["x"][gidx], big["u"][gidx], big["cost"][gidx],
+                  jnp.asarray(small["lam"][gidx_np]),
+                  jnp.asarray(small["dlam"][gidx_np]),
+                  jnp.asarray(small["n_accepted"][gidx_np]),
+                  None if params_np is None
+                  else jnp.asarray(params_np[gidx_np]),
+                  chunk_iters)
+        for f in _BIG:
+            big[f] = _scatter(big[f], getattr(sub, f), gidx)
+        for f in _POL:
+            pol[f] = _scatter(pol[f], getattr(sub.policy, f), gidx)
+        for f in _SMALL:
+            v = np.asarray(getattr(sub, f))[:k]
             if f == "n_iters":
-                acc[f][idx] += v
+                small[f][idx] += v
             else:
-                acc[f][idx] = v
-        for f in pol:
-            pol[f][idx] = np.asarray(getattr(sub.policy, f))
+                small[f][idx] = v
 
     from ..policy import GaussianPolicy
     return BatchILQGResult(
-        x=jnp.asarray(acc["x"]), u=jnp.asarray(acc["u"]),
-        policy=GaussianPolicy(**{f: jnp.asarray(v)
-                                 for f, v in pol.items()}),
-        Vx=jnp.asarray(acc["Vx"]), Vxx=jnp.asarray(acc["Vxx"]),
-        cost=jnp.asarray(acc["cost"]),
-        cost_total=jnp.asarray(acc["cost_total"]),
-        n_iters=jnp.asarray(acc["n_iters"]),
-        n_accepted=jnp.asarray(acc["n_accepted"]),
-        reason=jnp.asarray(acc["reason"]),
-        lam=jnp.asarray(acc["lam"]), dlam=jnp.asarray(acc["dlam"]),
-        g_norm=jnp.asarray(acc["g_norm"]), trace=None)
+        policy=GaussianPolicy(**pol),
+        **big,
+        **{f: jnp.asarray(v) for f, v in small.items()},
+        trace=None)
