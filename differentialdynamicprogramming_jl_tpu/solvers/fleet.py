@@ -28,6 +28,7 @@ rules it obeys (hard-won — see CLAUDE.md):
 """
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional, Tuple
 
 import numpy as np
@@ -46,8 +47,40 @@ _SMALL = ("cost_total", "n_iters", "n_accepted", "reason", "lam", "dlam",
 
 
 @jax.jit
-def _scatter(dst, src, gidx):
-    return dst.at[gidx].set(src)
+def _pack_small(res):
+    """All (B,)-sized result fields as ONE f32 matrix — a single host fetch
+    per chunk instead of seven (each fetch is a full relay round trip)."""
+    return jnp.stack([jnp.asarray(getattr(res, f), jnp.float32)
+                      for f in _SMALL])
+
+
+@functools.lru_cache(maxsize=32)
+def _chunk_runner(model, packed_derivs, derivs_tiles, lims, cfg,
+                  kt_backward, kt_forward, interpret):
+    """One fused jitted program per straggler chunk: gather the compacted
+    scenarios from device-resident fleet state, continue their solve, and
+    scatter the results back — a single dispatch + a single small fetch per
+    chunk instead of ~17 device ops (each op through a TPU relay costs a
+    dispatch round trip; at 4096×T=1000 scale that overhead exceeded the
+    compute it saved)."""
+    from .batch import _ilqg_batch_lanes_jit
+
+    @jax.jit
+    def step(big, pol, lam_g, dlam_g, acc_g, params_g, gidx, steps):
+        sub = _ilqg_batch_lanes_jit(
+            model, packed_derivs, big["x"][gidx], big["u"][gidx],
+            lims=lims, cfg=cfg, derivs_tiles=derivs_tiles,
+            params=params_g, cost0=big["cost"][gidx],
+            lam0=lam_g, dlam0=dlam_g, accepted0=acc_g,
+            max_steps=steps,
+            kt_backward=kt_backward, kt_forward=kt_forward,
+            interpret=interpret)
+        new_big = {f: big[f].at[gidx].set(getattr(sub, f)) for f in _BIG}
+        new_pol = {f: pol[f].at[gidx].set(getattr(sub.policy, f))
+                   for f in _POL}
+        return new_big, new_pol, _pack_small(sub)
+
+    return step
 
 
 def ilqg_fleet(model,
@@ -58,6 +91,7 @@ def ilqg_fleet(model,
                derivs_tiles: Optional[Callable] = None,
                params=None,
                chunk_iters: int = 16,
+               chunk_growth: float = 8.0,
                max_chunks: int = 32,
                kt_backward: int = 25,
                kt_forward: int = 10,
@@ -71,7 +105,13 @@ def ilqg_fleet(model,
 
     Returns a batch-major :class:`BatchILQGResult` (``trace`` unsupported —
     per-chunk traces are not stitched). ``n_iters`` is the per-scenario
-    total across chunks.
+    total across chunks. ``chunk_growth``: straggler chunks lengthen
+    geometrically — overshooting a chunk budget is free (the while_loop
+    early-exits once every lane is done), while every extra chunk costs a
+    host round trip, so large growth wins. Tune ``chunk_iters`` to just
+    past the fleet's median convergence iteration (e.g. 10 for the
+    constrained LTI benchmark → 2.0× over lock-step at full convergence,
+    BASELINE.md round 2).
     """
     B = u0s.shape[0]
     params_np = None if params is None else np.asarray(params)
@@ -90,8 +130,9 @@ def ilqg_fleet(model,
 
     big = {f: getattr(res, f) for f in _BIG}          # stays on device
     pol = {f: getattr(res.policy, f) for f in _POL}   # stays on device
-    small = {f: np.array(getattr(res, f)) for f in _SMALL}
+    small = dict(zip(_SMALL, np.array(_pack_small(res))))  # ONE fetch
 
+    steps = chunk_iters
     for chunk in range(1, max_chunks):
         unfinished = small["reason"] == 0
         n_left = int(unfinished.sum())
@@ -100,32 +141,32 @@ def ilqg_fleet(model,
                   f"still running")
         if n_left == 0:
             break
+        steps = int(round(steps * chunk_growth))
         idx = np.flatnonzero(unfinished)
         k = len(idx)
         kp = max(B_TILE, -(-k // B_TILE) * B_TILE)
         gidx_np = np.concatenate([idx, np.repeat(idx[:1], kp - k)])
-        gidx = jnp.asarray(gidx_np)
-        sub = run(big["x"][gidx], big["u"][gidx], big["cost"][gidx],
-                  jnp.asarray(small["lam"][gidx_np]),
-                  jnp.asarray(small["dlam"][gidx_np]),
-                  jnp.asarray(small["n_accepted"][gidx_np]),
-                  None if params_np is None
-                  else jnp.asarray(params_np[gidx_np]),
-                  chunk_iters)
-        for f in _BIG:
-            big[f] = _scatter(big[f], getattr(sub, f), gidx)
-        for f in _POL:
-            pol[f] = _scatter(pol[f], getattr(sub.policy, f), gidx)
-        for f in _SMALL:
-            v = np.asarray(getattr(sub, f))[:k]
+        runner = _chunk_runner(model, packed_derivs, derivs_tiles, lims,
+                               cfg, kt_backward, kt_forward, interpret)
+        big, pol, sub_small = runner(
+            big, pol,
+            jnp.asarray(small["lam"][gidx_np]),
+            jnp.asarray(small["dlam"][gidx_np]),
+            jnp.asarray(small["n_accepted"][gidx_np], dtype=np.int32),
+            None if params_np is None else jnp.asarray(params_np[gidx_np]),
+            jnp.asarray(gidx_np), jnp.int32(steps))
+        sub_small = np.array(sub_small)               # ONE fetch
+        for f, v in zip(_SMALL, sub_small):
             if f == "n_iters":
-                small[f][idx] += v
+                small[f][idx] += v[:k]
             else:
-                small[f][idx] = v
+                small[f][idx] = v[:k]
 
     from ..policy import GaussianPolicy
+    int_fields = ("n_iters", "n_accepted", "reason")
     return BatchILQGResult(
         policy=GaussianPolicy(**pol),
         **big,
-        **{f: jnp.asarray(v) for f, v in small.items()},
+        **{f: jnp.asarray(v, jnp.int32 if f in int_fields else jnp.float32)
+           for f, v in small.items()},
         trace=None)
