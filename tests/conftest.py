@@ -18,3 +18,15 @@ import pytest  # noqa: E402
 @pytest.fixture
 def key():
     return jax.random.PRNGKey(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_after_module():
+    """Drop compiled executables between test modules. A single pytest
+    process accumulates hundreds of CPU executables (+ multi-GB RSS) across
+    the suite, which has produced nondeterministic late-suite segfaults in
+    XLA's CPU compiler; per-module clearing keeps the process bounded.
+    Cross-module jit reuse is minimal (interpret-mode Pallas compiles
+    dominate and are module-local), so the runtime cost is small."""
+    yield
+    jax.clear_caches()
