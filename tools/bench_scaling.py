@@ -64,31 +64,46 @@ def main_multihost(argv):
     spec = PendCartSpec()
     model = pendcart_lanes(spec)
     tiles = pendcart_derivs_tiles(spec)
+    # off-TPU (CPU pod simulation) the kernels run in interpret mode on tiny
+    # shapes — functional harness check, not a perf number
+    on_tpu = jax.default_backend() == "tpu"
+    b_dev, T_, kt, interp = ((B_PER_DEV, T, {}, False) if on_tpu
+                             else (8, 8, dict(kt_backward=2, kt_forward=2),
+                                   True))
     cfg = ILQGConfig(alphas=default_alphas(0.2, -3.0, 6), reg_type=2,
                      lam_max=1e15, max_iter=MAX_ITER, iter_cap=MAX_ITER + 4)
     base = fetch_baseline()
 
+    def fleet_T(B):
+        x0 = default_x0(jnp.float32)
+        x0s = x0[None, :] + (0.2 * jax.random.normal(
+            jax.random.PRNGKey(0), (B, 4), jnp.float32)
+            * jnp.array([1, 0, 0, 0], jnp.float32))
+        return x0s, jnp.zeros((B, T_, 1), jnp.float32)
+
     # 1 local device
     mesh1 = jax.sharding.Mesh(np.array(jax.local_devices()[:1]), ("b",))
-    x0s, u0s = _fleet(B_PER_DEV)
+    x0s, u0s = fleet_T(b_dev)
     dt1 = timeit("1 device", lambda: ilqg_batch_sharded(
         model, None, x0s, u0s, lims=((-5.0, 5.0),), cfg=cfg, mesh=mesh1,
-        reduce_stats=True, derivs_tiles=tiles), iters=3, baseline=base)
-    s1 = B_PER_DEV / dt1
+        reduce_stats=True, derivs_tiles=tiles, interpret=interp, **kt),
+        iters=3, baseline=base)
+    s1 = b_dev / dt1
 
     # full global mesh (all chips, all hosts)
     gmesh = D.global_mesh()
     n_glob = gmesh.devices.size
     n_local = len(jax.local_devices())
-    xl, ul = _fleet(B_PER_DEV * n_local)  # this process's shard
+    xl, ul = fleet_T(b_dev * n_local)  # this process's shard
     xg = D.distribute_batch(np.asarray(xl), gmesh)
     ug = D.distribute_batch(np.asarray(ul), gmesh)
     dtn = timeit(f"{n_glob} devices / {jax.process_count()} hosts",
                  lambda: ilqg_batch_sharded(
                      model, None, xg, ug, lims=((-5.0, 5.0),), cfg=cfg,
-                     mesh=gmesh, reduce_stats=True, derivs_tiles=tiles),
+                     mesh=gmesh, reduce_stats=True, derivs_tiles=tiles,
+                     interpret=interp, **kt),
                  iters=3, baseline=base)
-    sn = B_PER_DEV * n_glob / dtn
+    sn = b_dev * n_glob / dtn
     if jax.process_index() == 0:
         print(json.dumps({
             "hosts": jax.process_count(), "devices": n_glob,
