@@ -125,19 +125,30 @@ def _eval_terminal_lanes(model, xT, par_l):
     return model.terminal(xs)
 
 
-def ilqg_batch_lanes(model, packed_derivs, x0s, u0s, *args,
-                     max_steps=None, cfg: ILQGConfig = ILQGConfig(),
-                     **kwargs):
-    """Public entry — see :func:`_ilqg_batch_lanes_jit` for the full
-    signature/docs. Fills ``max_steps`` (always passed as a traced scalar)
-    OUTSIDE the jit boundary, so bounded fleet-scheduler chunks and plain
-    unbounded solves with the same cfg share one compiled program."""
+def ilqg_batch_lanes(model, packed_derivs, x0s, u0s,
+                     lims=None, cfg: ILQGConfig = ILQGConfig(),
+                     derivs_tiles=None, params=None, cost0=None,
+                     warm_start: bool = False, lam0=None, dlam0=None,
+                     accepted0=None, max_steps=None,
+                     kt_backward: int = 25, kt_forward: int = 10,
+                     record_trace: bool = False, interpret: bool = False):
+    """Public entry — see :func:`_ilqg_batch_lanes_jit` for the full docs.
+    Fills ``max_steps`` (always passed as a traced scalar) OUTSIDE the jit
+    boundary, so bounded fleet-scheduler chunks and plain unbounded solves
+    with the same cfg share one compiled program."""
     if max_steps is None:
         max_steps = cfg.cap() - 1
-    return _ilqg_batch_lanes_jit(model, packed_derivs, x0s, u0s, *args,
-                                 cfg=cfg,
+    return _ilqg_batch_lanes_jit(model, packed_derivs, x0s, u0s,
+                                 lims=lims, cfg=cfg,
+                                 derivs_tiles=derivs_tiles, params=params,
+                                 cost0=cost0, warm_start=warm_start,
+                                 lam0=lam0, dlam0=dlam0,
+                                 accepted0=accepted0,
                                  max_steps=jnp.asarray(max_steps, jnp.int32),
-                                 **kwargs)
+                                 kt_backward=kt_backward,
+                                 kt_forward=kt_forward,
+                                 record_trace=record_trace,
+                                 interpret=interpret)
 
 
 @functools.partial(
