@@ -264,6 +264,34 @@ def pendcart_derivs_tiles(spec: PendCartSpec = PendCartSpec()):
 
 
 @functools.lru_cache(maxsize=32)
+def pendcart_derivs_tiles_so(spec: PendCartSpec = PendCartSpec()):
+    """Second-order derivative tiles (full DDP on the lane tier): the
+    first-order tiles plus the Euler step's nonzero dynamics Hessians —
+    only f₁ = θ̇ + h·θ̈ is nonlinear, with ∂²f₁/∂θ² = h(g/l·sinθ − u/l·cosθ)
+    and ∂²f₁/∂θ∂u = −(h/l)sinθ. Layouts per the backward kernel:
+    ``fxx[a][i][j]``, ``fxu[a][j][mi]``, ``fuu[a][mi][mj]``."""
+    g, l, h, d = spec.g, spec.l, spec.h, spec.d
+    first = pendcart_derivs_tiles(spec)
+
+    def tiles(x, u, t):
+        out = dict(first(x, u, t))
+        th = x[0]
+        u0 = u[0]
+        z = jnp.zeros_like(th)
+        d2_thth = h * (g / l * jnp.sin(th) - u0 / l * jnp.cos(th))
+        d2_thu = -h / l * jnp.sin(th)
+        fxx = [[[z] * 4 for _ in range(4)] for _ in range(4)]
+        fxx[1][0][0] = d2_thth
+        fxu = [[[z] for _ in range(4)] for _ in range(4)]
+        fxu[1][0][0] = d2_thu
+        fuu = [[[z]] for _ in range(4)]
+        out.update(fxx=fxx, fxu=fxu, fuu=fuu)
+        return out
+
+    return tiles
+
+
+@functools.lru_cache(maxsize=32)
 def pendcart_lanes_param(spec: PendCartSpec = PendCartSpec()):
     """Parametrized lane model: per-scenario pole length and damping
     (``params = [l, d]`` lane tiles) — heterogeneous pendcart fleets in one

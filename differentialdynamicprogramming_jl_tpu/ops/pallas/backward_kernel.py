@@ -37,8 +37,12 @@ inputs: Q terms scaled by 1/η and augmented with the KL expansion computed
 in-register from the previous-policy stream (``src/backward_pass.jl:293-299``,
 ``src/klutils.jl:8-23``).
 
-Unsupported here (falls back to the generic XLA path, ``ops/backward.py``
-vmapped): second-order dynamics terms (full DDP), f64.
+Full DDP (second-order dynamics terms) is supported on the
+``derivs_tiles`` input path: when the model's tile function also returns
+``fxx``/``fxu``/``fuu`` tile lists, their V'-contractions are added
+in-register (the packed-stream path stays first-order — n³ slots per step
+would defeat the HBM-traffic design). Unsupported here (falls back to the
+generic XLA path, ``ops/backward.py`` vmapped): f64.
 """
 from __future__ import annotations
 
@@ -410,6 +414,23 @@ def _make_kernel(n: int, m: int, T: int, K_T: int, reg_type: int,
                 for mj in range(m)] for mi in range(m)]
         Qux = [[cxu[j][mi] + sum(fu[a][mi] * W[a][j] for a in range(n))
                 for j in range(n)] for mi in range(m)]
+
+        if "fxx" in d:
+            # full DDP: second-order dynamics contractions with V'_{t+1}
+            # (reference vectens terms; layouts as ops/backward.py:154-159 —
+            # fxx[a][i][j]=∂²f_a/∂x_i∂x_j, fxu[a][j][mi], fuu[a][mi][mj]).
+            # Added before the regularization branches, so reg_type 2's
+            # Qux_r/QuuF inherit them exactly like the XLA path (:178-179).
+            fxx, fxu, fuu = d["fxx"], d["fxu"], d["fuu"]
+            Qxx = [[Qxx[i][j]
+                    + sum(Vx[a] * fxx[a][i][j] for a in range(n))
+                    for j in range(n)] for i in range(n)]
+            Qux = [[Qux[mi][j]
+                    + sum(Vx[a] * fxu[a][j][mi] for a in range(n))
+                    for j in range(n)] for mi in range(m)]
+            Quu = [[Quu[mi][mj]
+                    + sum(Vx[a] * fuu[a][mi][mj] for a in range(n))
+                    for mj in range(m)] for mi in range(m)]
 
         if gps:
             # GPS mode: η is the only regularizer; Q terms scaled by 1/η and

@@ -20,8 +20,8 @@ exactly the semantics of ``solvers/ilqg.py`` vmapped, but ~100× faster on
 TPU at reference problem sizes.
 
 Restrictions of this fast path (the generic ``ilqg``/``ilqg_batched`` XLA
-path covers the rest): first-order dynamics (iLQG, not full DDP), f32,
-GPS/KL mode only at the kernel level
+path covers the rest): f32 (full DDP supported when ``derivs_tiles``
+returns second-order tiles), GPS/KL mode only at the kernel level
 (``backward_lanes(prev=…, eta=…)``), per-iteration trace via
 ``record_trace=True``.
 """

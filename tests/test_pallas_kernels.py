@@ -253,3 +253,53 @@ def test_backward_kernel_limits_m_gt_2(m):
     # the limits must actually bind somewhere, or this test proves nothing
     u_new = np.asarray(ro.u) + np.asarray(out.policy.k)
     assert np.any(np.abs(u_new) > 0.049), "no clamp was ever active"
+
+
+def test_backward_kernel_full_ddp_parity(pend):
+    """Full DDP on the lane tier: second-order dynamics tiles
+    (pendcart_derivs_tiles_so) match the XLA backward pass fed autodiff
+    fxx/fxu/fuu (reference vectens terms, src/backward_pass.jl full-DDP
+    variants)."""
+    from differentialdynamicprogramming_jl_tpu.models.pendcart import (
+        pendcart_derivs_tiles, pendcart_derivs_tiles_so)
+    from differentialdynamicprogramming_jl_tpu.problem import (
+        make_autodiff_derivs)
+    spec, problem, _, _, ro, _ = pend
+    derivs_fn = jax.vmap(make_autodiff_derivs(problem.dynamics,
+                                              problem.cost,
+                                              second_order=True))
+    d2 = derivs_fn(ro.x, ro.u)
+    assert d2.fxx is not None
+    lam = jnp.full((B,), 0.5, DTYPE)
+    ref = jax.vmap(lambda dd, uu, ll: backward_pass(dd, uu, lam=ll,
+                                                    reg_type=1))(
+        d2, ro.u, lam)
+
+    traj = to_lanes(jnp.concatenate(
+        [ro.x, ro.u, jnp.zeros((B, T, 1), DTYPE)], axis=-1), B)
+    out = backward_lanes(traj, vec_to_lanes(lam), n=4, m=1, reg_type=1,
+                         k_t=4, derivs_tiles=pendcart_derivs_tiles_so(),
+                         interpret=True)
+    from differentialdynamicprogramming_jl_tpu.ops.pallas.backward_kernel \
+        import OutLayout
+    lay = OutLayout(4, 1)
+    k = from_lanes(out.out[:, lay.k:lay.k + 1], B, (1,))
+    K = from_lanes(out.out[:, lay.K:lay.K + 4], B, (1, 4))
+    Vx = from_lanes(out.out[:, lay.Vx:lay.Vx + 4], B, (4,))
+    np.testing.assert_allclose(np.asarray(k), np.asarray(ref.policy.k),
+                               rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(K), np.asarray(ref.policy.K),
+                               rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(Vx), np.asarray(ref.Vx),
+                               rtol=3e-4, atol=3e-4)
+    # and the second-order terms actually matter: against the full-DDP XLA
+    # reference, first-order tiles must be measurably worse than the
+    # second-order tiles (effect ≫ parity error)
+    out1 = backward_lanes(traj, vec_to_lanes(lam), n=4, m=1, reg_type=1,
+                          k_t=4,
+                          derivs_tiles=pendcart_derivs_tiles(),
+                          interpret=True)
+    k1 = from_lanes(out1.out[:, lay.k:lay.k + 1], B, (1,))
+    err_fo = float(np.max(np.abs(np.asarray(k1) - np.asarray(ref.policy.k))))
+    err_so = float(np.max(np.abs(np.asarray(k) - np.asarray(ref.policy.k))))
+    assert err_fo > 5.0 * max(err_so, 1e-7), (err_fo, err_so)
