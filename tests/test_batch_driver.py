@@ -131,3 +131,34 @@ def test_batch_lanes_packed_derivs_stream_cache(pend_setup):
                                   np.asarray(tiles.reason))
     np.testing.assert_array_equal(np.asarray(packed.n_accepted),
                                   np.asarray(tiles.n_accepted))
+
+
+def test_batch_lanes_m3_limits():
+    """m>2 control limits through the FULL lane driver (the in-kernel
+    masked projected-Newton boxQP) vs the vmapped XLA solver."""
+    from differentialdynamicprogramming_jl_tpu.models.linear import (
+        random_lti, make_lti_problem, lti_lanes, lti_derivs_tiles)
+    n, m, T_, B_ = 4, 3, 6, 8
+    spec = random_lti(jax.random.PRNGKey(3), n=n, m=m, T=T_,
+                      dtype=jnp.float32)
+    prob = make_lti_problem(spec, T_)
+    lims_arr = jnp.array([[-0.05, 0.05]] * m, jnp.float32)
+    x0s = (jnp.ones((B_, n), jnp.float32)
+           * jnp.linspace(0.5, 2.0, B_, dtype=jnp.float32)[:, None])
+    u0s = jnp.tile(spec.u0, (B_, 1, 1)) * 3.0
+    cfg = ILQGConfig(alphas=default_alphas(0.2, -3.0, 3), reg_type=1,
+                     max_iter=3, iter_cap=4)
+    ref = jax.vmap(lambda a, b: ilqg(prob, a, b, lims=lims_arr, cfg=cfg)
+                   )(x0s, u0s)
+    out = ilqg_batch_lanes(
+        lti_lanes(spec), None, x0s, u0s,
+        lims=tuple((float(lo), float(hi)) for lo, hi in
+                   np.asarray(lims_arr)),
+        cfg=cfg, derivs_tiles=lti_derivs_tiles(spec),
+        kt_backward=2, kt_forward=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(out.cost_total),
+                               np.asarray(jnp.sum(ref.cost, -1)), rtol=2e-4)
+    np.testing.assert_array_equal(np.asarray(out.reason),
+                                  np.asarray(ref.reason))
+    # limits must actually bind
+    assert np.any(np.abs(np.asarray(out.u)) > 0.049)
