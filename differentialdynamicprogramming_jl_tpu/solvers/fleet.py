@@ -103,6 +103,12 @@ def ilqg_fleet(model,
     scenarios are compacted into the smallest tile-aligned batch and
     continued alone.
 
+    Single-process scheduler (one device's fleet). On a multi-device /
+    multi-host mesh, run one ``ilqg_fleet`` per shard (scenario solves are
+    independent, so per-shard scheduling is exact); a cross-device
+    compaction would trade collective traffic for tail latency and is not
+    implemented.
+
     Returns a batch-major :class:`BatchILQGResult` (``trace`` unsupported —
     per-chunk traces are not stitched). ``n_iters`` is the per-scenario
     total across chunks. ``chunk_growth``: straggler chunks lengthen
