@@ -84,3 +84,21 @@ def test_batch_kl_matches_xla_driver():
     np.testing.assert_array_equal(np.asarray(out.satisfied),
                                   np.asarray(ref.satisfied))
     assert np.all(np.isfinite(np.asarray(out.u)))
+
+
+def test_logdet_tiles_general_m():
+    """_logdet_tiles m>2 (unrolled Cholesky diagonal) vs numpy slogdet."""
+    import numpy as np
+    from differentialdynamicprogramming_jl_tpu.solvers.batch_kl import (
+        _logdet_tiles)
+    rng = np.random.default_rng(0)
+    T_, m, L = 5, 3, (1, 8, 128)
+    A = rng.standard_normal((T_, *L, m, m)).astype(np.float32)
+    S = np.einsum('t...ij,t...kj->t...ik', A, A) + 0.5 * np.eye(
+        m, dtype=np.float32)
+    # slot stream layout (T, m², L)
+    S_stream = jnp.asarray(np.moveaxis(
+        S.reshape(T_, *L, m * m), -1, 1))
+    out = np.asarray(_logdet_tiles(S_stream, m))
+    ref = np.linalg.slogdet(S.astype(np.float64))[1]
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
