@@ -387,7 +387,14 @@ def _ilqg_batch_lanes_jit(model: LanesModel,
         al_sel = jnp.where(any_ok, alphas[idx], 0.0)
         accept = any_ok & (~bp_bad) & (~grad_conv) & active
 
-        fb = run_fwd(c.traj, bo, al_sel[None], lay.k, lay.K, True, g_sl)
+        # phase B re-rolls with α=0 on non-accepted lanes: u = u_nom +
+        # K(x−x_old) retraces a kernel-produced trajectory bit-exactly
+        # (deterministic same-kernel arithmetic), so the accept-select on
+        # the (T, n+m+1, lanes) stream is only needed for user-supplied
+        # pre-rolled trajectories (which may be dynamics-inconsistent and
+        # must be kept verbatim on reject, src/iLQG.jl:193-197)
+        al_eff = jnp.where(accept, al_sel, 0.0)
+        fb = run_fwd(c.traj, bo, al_eff[None], lay.k, lay.K, True, g_sl)
 
         dcost_sel = jnp.take_along_axis(dcost, idx[None], axis=0)[0]
 
@@ -412,8 +419,12 @@ def _ilqg_batch_lanes_jit(model: LanesModel,
             grad_conv, 1, jnp.where(cost_conv, 2, 3)).astype(jnp.int32)
         reason = jnp.where(newly_done, reason_new, c.reason)
 
-        traj_n = jnp.where(_bc(accept, c.traj), fb.traj, c.traj)
-        tot_n = jnp.where(accept, fb.totals[0], c.cost_tot)
+        if pre_rolled:
+            traj_n = jnp.where(_bc(accept, c.traj), fb.traj, c.traj)
+            tot_n = jnp.where(accept, fb.totals[0], c.cost_tot)
+        else:
+            traj_n = fb.traj
+            tot_n = fb.totals[0]
         # no masked select on the (T, S, lanes) backward stream: done lanes'
         # trajectory, λ and (cached) derivative inputs are all frozen, so
         # the kernel recomputes bit-identical outputs for them every
@@ -548,12 +559,16 @@ def ilqg_iteration_lanes(model: LanesModel,
         idx = jnp.argmax(ok, axis=0)
         al_sel = jnp.where(any_ok, alphas[idx], 0.0)
         accept = any_ok & (~bad)
-        fb = forward_lanes(traj, bo, x0_l, al_sel[None], model=model,
+        # α=0 on rejected lanes retraces the (kernel-produced) input
+        # trajectory bit-exactly — no accept-select on the stream (the
+        # caller's traj must come from forward_lanes, as in MPC loops)
+        al_eff = jnp.where(accept, al_sel, 0.0)
+        fb = forward_lanes(traj, bo, x0_l, al_eff[None], model=model,
                            lims=lims, gk=lay.k, gK=lay.K, g_slots=g_sl,
                            emit_traj=True, k_t=kt_forward,
                            interpret=interpret)
-        traj_n = jnp.where(_bc(accept, traj), fb.traj, traj)
-        tot_n = jnp.where(accept, fb.totals[0], cost_tot)
+        traj_n = fb.traj
+        tot_n = fb.totals[0]
         lam_n = jnp.where(accept, jnp.maximum(lam / cfg.lam_factor, 1e-6),
                           jnp.minimum(lam * cfg.lam_factor, cfg.lam_max))
         return traj_n, tot_n, lam_n

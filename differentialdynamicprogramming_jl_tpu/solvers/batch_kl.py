@@ -319,9 +319,13 @@ def ilqgkl_batch_lanes(model: LanesModel,
         upd = active
         bc = lambda msk, a: msk.reshape((1,) * (a.ndim - msk.ndim)
                                         + msk.shape)
-        traj_new = jnp.where(bc(upd, c.traj_new), fb.traj, c.traj_new)
-        tot_new = jnp.where(upd, fb.totals[0], c.tot_new)
-        bo_n = jnp.where(bc(upd, bo), bo, c.bo)
+        # no masked selects on the trajectory/backward streams: the nominal
+        # trajectory and done lanes' η bracket are frozen, so the kernels
+        # recompute bit-identical fb.traj/bo for them every iteration
+        # (same HBM-traffic argument as solvers/batch.py)
+        traj_new = fb.traj
+        tot_new = fb.totals[0]
+        bo_n = bo
         br_mask = bc(upd, br_n)
 
         eta_mid = jnp.mean(br_n[1], axis=0) if per_step else br_n[1]
