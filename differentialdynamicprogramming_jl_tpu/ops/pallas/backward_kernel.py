@@ -245,23 +245,26 @@ def _boxqp_masked(H, g, lo, hi, x0, mm, n_iter):
         return _tiny_chol(Hm, mm)
 
     x = [jnp.clip(x0[i], lo[i], hi[i]) for i in range(mm)]
-    ok = None
+    ok = jnp.zeros_like(g[0]) < 1.0          # all-True tile (qp_iters=0 safe)
+    improved = None                          # did the LAST iteration descend?
     for _ in range(n_iter):
         grad = [g[i] + sum(H[i][j] * x[j] for j in range(mm))
                 for i in range(mm)]
         free = kkt_masks(x, grad)
         L, okc = masked_chol(free)
-        ok = okc if ok is None else ok & okc
+        ok = ok & okc
         gf = [jnp.where(free[i], grad[i], 0.0) for i in range(mm)]
         dx = _tiny_chol_solve(L, [-v for v in gf], mm)
         dx = [jnp.where(free[i], dx[i], 0.0) for i in range(mm)]
         vb = val(x)
         xb = x
+        improved = jnp.zeros_like(g[0]) > 1.0   # all-False tile
         for a in (1.0, 0.5, 0.25):
             xc = [jnp.clip(x[i] + a * dx[i], lo[i], hi[i])
                   for i in range(mm)]
             vc = val(xc)
             take = vc < vb
+            improved = improved | take
             xb = [jnp.where(take, xc[i], xb[i]) for i in range(mm)]
             vb = jnp.minimum(vc, vb)
         x = xb
@@ -270,7 +273,20 @@ def _boxqp_masked(H, g, lo, hi, x0, mm, n_iter):
     grad = [g[i] + sum(H[i][j] * x[j] for j in range(mm)) for i in range(mm)]
     free = kkt_masks(x, grad)
     L, okf = masked_chol(free)
-    return x, free, L, ok & okf
+    ok = ok & okf
+    if improved is not None:
+        # "no descent direction found" (the reference's result=0 failure,
+        # src/boxQP.jl:134,172-179, which src/backward_pass.jl:48-52 treats
+        # as a divergence → λ-escalation): the last Newton iteration made no
+        # progress while the free-subspace gradient is still far from the
+        # KKT point. A converged solve has gf≈0, so this never fires on
+        # success; result=1 (iteration cap with descent still happening) is
+        # NOT a reference failure and stays accepted.
+        gf2 = sum(jnp.where(free[i], grad[i], 0.0) ** 2 for i in range(mm))
+        g2 = sum(g[i] * g[i] for i in range(mm))
+        stuck = (gf2 > 1e-6 * (g2 + 1e-30)) & (~improved)
+        ok = ok & (~stuck)
+    return x, free, L, ok
 
 
 # ---------------------------------------------------------------------------

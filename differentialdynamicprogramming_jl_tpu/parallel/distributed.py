@@ -55,12 +55,15 @@ def init_distributed(coordinator_address: Optional[str] = None,
     (``"host:port"``, the address of process 0).
 
     ``cpu_collectives`` selects the cross-process CPU collective backend
-    ("gloo" default, "mpi" where available); it is applied only when the
-    process runs on the CPU platform, where XLA's default (single-process)
-    CPU collectives cannot cross process boundaries.
+    ("gloo" default, "mpi" where available); it is applied only when
+    ``jax_platforms`` explicitly names cpu (XLA's default single-process CPU
+    collectives cannot cross process boundaries). Auto-detected TPU/GPU
+    processes (``jax_platforms`` unset) are left untouched — probing the
+    resolved backend here would initialize XLA before
+    ``jax.distributed.initialize``, which must run first.
     """
     platforms = jax.config.jax_platforms or ""
-    if "cpu" in platforms.split(",") or platforms == "":
+    if "cpu" in platforms.split(","):
         try:
             jax.config.update("jax_cpu_collectives_implementation",
                               cpu_collectives)

@@ -296,6 +296,17 @@ def _ilqg_batch_lanes_jit(model: LanesModel,
         traj_init, tot_init = fb0.traj, fb0.totals[0]
         if warm_start:
             any0 = jnp.isfinite(tot_init) & (tot_init < 1e16)
+        # NaN scrub on init-diverged (reason 5) lanes: once x overflows to
+        # Inf, the kernel's control law computes u = K·(Inf−0) = 0·Inf = NaN
+        # and NaN then re-enters the dynamics. These lanes exit immediately
+        # with this rollout as their result (see the restore after the
+        # loop), so keep it Inf-marked but NaN-free, like the reference's
+        # diverged rollout (big-but-finite values, src/iLQG.jl:187).
+        bad0 = _bc(~any0, traj_init)
+        traj_init = jnp.where(
+            bad0 & jnp.isnan(traj_init), 0.0, traj_init)
+        tot_init = jnp.where((~any0) & jnp.isnan(tot_init), jnp.inf,
+                             tot_init)
 
     bwd_in0 = (packed_derivs(traj_init[:, :n], traj_init[:, n:n + m])
                if packed_derivs is not None else None)
@@ -490,6 +501,21 @@ def _ilqg_batch_lanes_jit(model: LanesModel,
     c = lax.while_loop(loop_cond, loop_body, carry0)
     reason = jnp.where((c.reason == 0) & (c.accepted > cfg.max_iter),
                        4, c.reason).astype(jnp.int32)
+
+    if not pre_rolled:
+        # lanes that diverged at init (reason 5) are done before the first
+        # iteration, but their (possibly non-finite) trajectory still feeds
+        # the kernels, whose α=0 retrace turns Inf into NaN (K·(Inf−Inf)).
+        # Restore the frozen initial rollout and a zero policy for them —
+        # ONE select outside the loop, so the hot path keeps carrying the
+        # streams unmasked. The reference exits with the initial trajectory
+        # and no policy in this case (src/iLQG.jl:205-210), as does the XLA
+        # tier (solvers/ilqg.py: done=~init_ok with policy0 zeros).
+        bad5 = ~any0
+        c = c._replace(
+            traj=jnp.where(_bc(bad5, c.traj), traj_init, c.traj),
+            cost_tot=jnp.where(bad5, tot_init, c.cost_tot),
+            bo=jnp.where(_bc(bad5, c.bo), 0.0, c.bo))
 
     # ---- unpack to batch-major
     x = from_lanes(c.traj[:, :n], B, (n,))

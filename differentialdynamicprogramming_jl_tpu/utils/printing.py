@@ -64,7 +64,11 @@ def ilqg_exit(reason, it, cost, g_norm, lam):
                " final grad:   {g:<12.7g}\n final lambda: {l:<12.7e}\n"
                "=========== end iLQG ===========")
     msgs = [
-        "",
+        # reason 0 = the while_loop hit its iteration cap before any
+        # termination criterion fired (e.g. a bounded fleet chunk); the
+        # reference has no exact analogue, but every reference exit path
+        # prints SOMETHING, so say so explicitly instead of a blank line
+        "\nEXIT: iteration cap reached\n",
         "\nSUCCESS: gradient norm < tol_grad\n",
         "\nSUCCESS: cost change < tol_fun\n",
         "\nEXIT: lambda > lambda_max\n",

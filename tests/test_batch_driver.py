@@ -162,3 +162,44 @@ def test_batch_lanes_m3_limits():
                                   np.asarray(ref.reason))
     # limits must actually bind
     assert np.any(np.abs(np.asarray(out.u)) > 0.049)
+
+
+def test_batch_lanes_init_divergence_frozen():
+    """Scenarios whose initial rollout diverges (reason 5) must come back
+    with the FROZEN initial rollout and a zero policy — not NaN. Before the
+    round-3 fix, the unconditional `traj_n = fb.traj` re-rolled done lanes
+    every iteration and the α=0 retrace computed K·(Inf−Inf) = NaN on their
+    Inf-bearing trajectories (ADVICE r2). Reference: the initial-rollout
+    divergence guard exits with the initial trajectory and no policy
+    (src/iLQG.jl:181-210)."""
+    from differentialdynamicprogramming_jl_tpu.models.linear import (
+        LTISpec, lti_lanes, lti_derivs_tiles)
+    n, m, T_, B_ = 1, 1, 8, 2
+    one = jnp.ones((1, 1), jnp.float32)
+    # wildly unstable open-loop dynamics: x' = 1e30·x + u → the u0=0
+    # α-sweep rollout hits Inf by t=2 whenever x0 ≠ 0
+    spec = LTISpec(A=1e30 * one, B=one, Q=one, R=one,
+                   x0=jnp.zeros((1,), jnp.float32),
+                   u0=jnp.zeros((T_, 1), jnp.float32))
+    x0s = jnp.array([[0.0], [100.0]], jnp.float32)   # lane 1 diverges
+    u0s = jnp.zeros((B_, T_, m), jnp.float32)
+    cfg = ILQGConfig(alphas=default_alphas(0.2, -3.0, 3), reg_type=1,
+                     max_iter=2, iter_cap=3)
+    res = ilqg_batch_lanes(lti_lanes(spec), None, x0s, u0s, cfg=cfg,
+                           derivs_tiles=lti_derivs_tiles(spec),
+                           kt_backward=2, kt_forward=2, interpret=True)
+    reason = np.asarray(res.reason)
+    assert reason[1] == 5, reason
+    assert reason[0] != 5, reason
+    # frozen initial rollout: u ≡ 0 (α=0), x = open-loop from x0 — Inf is
+    # expected on the diverged lane, NaN is the bug
+    assert not np.any(np.isnan(np.asarray(res.u))), res.u
+    assert not np.any(np.isnan(np.asarray(res.x[0]))), res.x[0]
+    np.testing.assert_array_equal(np.asarray(res.u[1]), 0.0)
+    np.testing.assert_array_equal(np.asarray(res.x[1][0]), [100.0])
+    # zero policy on the diverged lane (XLA-tier parity: policy0 zeros)
+    np.testing.assert_array_equal(np.asarray(res.policy.K[1]), 0.0)
+    assert not np.any(np.isnan(np.asarray(res.Vxx[1])))
+    # the healthy lane is untouched by the restore
+    assert np.all(np.isfinite(np.asarray(res.x[0])))
+    assert np.all(np.isfinite(float(res.cost_total[0])))
