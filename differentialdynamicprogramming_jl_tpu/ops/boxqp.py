@@ -85,6 +85,7 @@ class _QPState(NamedTuple):
     it: jax.Array
     gnorm: jax.Array
     nfactor: jax.Array
+    ls_steps: jax.Array   # backtracking exponent of the LAST line search
 
 
 def _masked_cholesky(H, free):
@@ -153,6 +154,7 @@ def boxqp(H, g, lower, upper, x0,
         result=jnp.zeros((), jnp.int32), done=jnp.zeros((), bool),
         it=jnp.ones((), jnp.int32),
         gnorm=jnp.zeros((), dtype), nfactor=jnp.zeros((), jnp.int32),
+        ls_steps=jnp.zeros((), jnp.int32),
     )
 
     def cond(c):
@@ -163,12 +165,13 @@ def boxqp(H, g, lower, upper, x0,
         s, tr = c
         s_new = _step(s)
         if verbose > 1:
-            # per-iteration line (src/boxQP.jl:153-156)
+            # per-iteration line (src/boxQP.jl:153-156), incl. the
+            # backtracking exponent (``linesearch stepDec^nstep``)
             from ..utils import printing as _pr
             _pr.boxqp_row(s.it, s_new.value, s_new.gnorm,
                           s_new.oldvalue - s_new.value,
-                          jnp.sum(s_new.clamped, dtype=jnp.int32),
-                          s_new.nfactor > s.nfactor)
+                          step_dec, s_new.ls_steps,
+                          jnp.sum(s_new.clamped, dtype=jnp.int32))
         if record_trace:
             idx = jnp.minimum(s.it - 1, max_iter - 1)
             tr = QPTrace(
@@ -225,7 +228,7 @@ def boxqp(H, g, lower, upper, x0,
             return (step, xc, vc, fail, k + 1)
 
         xc0 = jnp.clip(s.x + search, lower, upper)
-        step, xc, vc, ls_fail, _ = lax.while_loop(
+        step, xc, vc, ls_fail, nstep = lax.while_loop(
             ls_cond, ls_body,
             (jnp.ones((), dtype), xc0, qval(xc0), jnp.zeros((), bool),
              jnp.zeros((), jnp.int32)))
@@ -252,6 +255,7 @@ def boxqp(H, g, lower, upper, x0,
             it=s.it + accept.astype(jnp.int32),
             gnorm=jnp.where(stop4, s.gnorm, gnorm),
             nfactor=nfactor,
+            ls_steps=nstep,
         )
 
     if record_trace:

@@ -41,6 +41,16 @@ def _logdet(A):
     return jnp.linalg.slogdet(A)[1]
 
 
+def pd_ok(S: jax.Array) -> jax.Array:
+    """Per-timestep PD flag for a (..., m, m) symmetric stack (smallest
+    eigenvalue > 0). Julia's ``logdet`` throws a DomainError on indefinite
+    input (the reference's ``kl_div_wiki`` hard-fails, ``src/klutils.jl:84``);
+    under jit callers use this flag to abort/diagnose instead — ``slogdet``
+    alone would silently return log|det| (sign > 0 does NOT imply PD: an
+    even number of negative eigenvalues keeps the determinant positive)."""
+    return jnp.linalg.eigvalsh(S)[..., 0] > 0
+
+
 def kl_div_wiki(x_new: jax.Array, x_old: jax.Array, sigma_new: jax.Array,
                 traj_new: GaussianPolicy,
                 traj_prev: GaussianPolicy) -> jax.Array:

@@ -30,7 +30,7 @@ from ..policy import GaussianPolicy, Trace
 from ..problem import Problem
 from ..ops.backward import backward_pass
 from ..ops.forward import forward_pass, forward_covariance
-from ..ops.kl import (grad_kl, kl_div_wiki, calc_eta, entropy,
+from ..ops.kl import (grad_kl, kl_div_wiki, calc_eta, entropy, pd_ok,
                       adam_init, adam_update, AdamState)
 
 
@@ -70,6 +70,9 @@ class ILQGKLResult(NamedTuple):
     divergence: jax.Array       # final measured KL (scalar mean or (T,))
     satisfied: jax.Array
     kl_violated: jax.Array      # reference final warning (src/iLQGkl.jl:248)
+    pd_failed: jax.Array = None  # a Σ went indefinite in the KL measurement
+    #                              (Julia logdet DomainError analogue,
+    #                              src/klutils.jl:84); aborted, not satisfied
 
 
 def ilqg_kl(problem: Problem,
@@ -103,6 +106,7 @@ class _Carry(NamedTuple):
     Vxx: jax.Array
     divergence: jax.Array
     satisfied: jax.Array
+    pd_failed: jax.Array
     adam: AdamState
     it: jax.Array
     done: jax.Array
@@ -139,6 +143,9 @@ def _ilqgkl_impl(problem, x0, traj_prev, model, cost0, lims, cfg,
     # STEP 1: derivatives, once (src/iLQGkl.jl:88)
     derivs = problem.make_derivs()(x, u)
     kl_terms = grad_kl(traj_prev)              # src/iLQGkl.jl:92
+    # Σ_prev is loop-invariant: PD-check it once (lane-tier parity —
+    # solvers/batch_kl.py flags the same failure per lane)
+    prev_pd = jnp.all(pd_ok(traj_prev.sigma))
     R1 = model.covariance(x, u)
     fx_model = model.fx_at(x, u)
 
@@ -190,7 +197,8 @@ def _ilqgkl_impl(problem, x0, traj_prev, model, cost0, lims, cfg,
         policy=GaussianPolicy.zeros(T, n, m, dtype),
         Vx=jnp.zeros((T, n), dtype), Vxx=jnp.zeros((T, n, n), dtype),
         divergence=jnp.zeros_like(kl_step),
-        satisfied=jnp.zeros((), bool), adam=adam0,
+        satisfied=jnp.zeros((), bool),
+        pd_failed=jnp.zeros((), bool), adam=adam0,
         it=jnp.ones((), jnp.int32), done=jnp.zeros((), bool),
         trace=trace0, g_norm=jnp.zeros((), dtype))
 
@@ -213,6 +221,9 @@ def _ilqgkl_impl(problem, x0, traj_prev, model, cost0, lims, cfg,
         dcost = jnp.sum(cost0) - jnp.sum(ro.cost)
 
         div_t = kl_div_wiki(ro.x, x, sigma_new, bp.policy, traj_prev)
+        # indefinite Σ anywhere = the reference's logdet DomainError
+        # (src/klutils.jl:84): abort with a diagnostic flag
+        pd_failed = (~prev_pd) | (~jnp.all(pd_ok(bp.policy.sigma)))
         if per_step:
             divergence = div_t
             # ADAM on log(η) against the constraint violation
@@ -231,7 +242,8 @@ def _ilqgkl_impl(problem, x0, traj_prev, model, cost0, lims, cfg,
             adam = c.adam
             eta_maxed = eb[1] > 0.999 * eb[2]   # src/iLQGkl.jl:178
 
-        done = satisfied | eta_maxed | bp_aborted
+        satisfied = satisfied & (~pd_failed)
+        done = satisfied | eta_maxed | bp_aborted | pd_failed
 
         if cfg.verbosity > 1:
             # reference period table (src/iLQGkl.jl:151-159): est. cost,
@@ -249,8 +261,13 @@ def _ilqgkl_impl(problem, x0, traj_prev, model, cost0, lims, cfg,
             io_callback(iter_callback, None, c.it, ro.x, ro.u, ro.cost,
                         ordered=True)
 
+        # reduce_ratio at α=1: Δcost / -(dV₁+dV₂) (src/iLQGkl.jl:137-140,
+        # recorded at :164)
+        expected = -(bp.dV[0] + bp.dV[1])
         trace = _wt(c.trace, c.it, cap,
                     alpha=jnp.ones((), dtype), improvement=dcost,
+                    reduce_ratio=jnp.where(expected != 0, dcost / expected,
+                                           jnp.zeros((), dtype)),
                     cost=jnp.sum(ro.cost), grad_norm=g_norm,
                     divergence=jnp.mean(divergence), eta=jnp.mean(eb[1]),
                     accepted=jnp.ones((), bool))
@@ -259,7 +276,8 @@ def _ilqgkl_impl(problem, x0, traj_prev, model, cost0, lims, cfg,
             eta_bracket=eb, delta=delta,
             x_new=ro.x, u_new=ro.u, cost_new=ro.cost,
             policy=bp.policy, Vx=bp.Vx, Vxx=bp.Vxx,
-            divergence=divergence, satisfied=satisfied, adam=adam,
+            divergence=divergence, satisfied=satisfied,
+            pd_failed=c.pd_failed | pd_failed, adam=adam,
             it=c.it + 1, done=done, trace=trace, g_norm=g_norm)
 
     c = lax.while_loop(loop_cond, loop_body, carry0)
@@ -278,7 +296,7 @@ def _ilqgkl_impl(problem, x0, traj_prev, model, cost0, lims, cfg,
         cost=c.cost_new, trace=c.trace, n_iters=c.it - 1,
         eta=c.eta_bracket[1], eta_bracket=c.eta_bracket,
         divergence=c.divergence, satisfied=c.satisfied,
-        kl_violated=kl_violated)
+        kl_violated=kl_violated, pd_failed=c.pd_failed)
 
 
 def _wt(trace: Trace, i, cap, **kv) -> Trace:

@@ -168,13 +168,15 @@ def boxqp_begin(n: int, value):
         n=n, v=value)
 
 
-def boxqp_row(it, value, gnorm, reduction, n_clamped, factorized):
-    """``src/boxQP.jl:153-156`` (line-search exponent omitted — the masked
-    fixed-shape search has no host-visible step count)."""
+def boxqp_row(it, value, gnorm, reduction, step_dec, nstep, n_clamped):
+    """``src/boxQP.jl:153-156``, incl. the backtracking exponent
+    (``linesearch stepDec^nstep`` — the masked line-search while_loop
+    carries its step count, so it IS host-visible)."""
     jax.debug.print(
         "iter {i:<4d} value {v:< 9.5g} |g| {g:<9.3g}  reduction {r:<9.3g}  "
-        "factorized {f}  n_clamped {c}",
-        i=it, v=value, g=gnorm, r=reduction, f=factorized, c=n_clamped)
+        "linesearch {s:g}^{n:<2d}  n_clamped {c}",
+        i=it, v=value, g=gnorm, r=reduction, s=step_dec, n=nstep,
+        c=n_clamped)
 
 
 def boxqp_result(result, iters, gnorm, value, nfactor):
