@@ -178,6 +178,85 @@ def _sharded_lane_solver(model, packed_derivs, derivs_tiles, lims, cfg,
                                  out_specs=out_specs, check_vma=False))
 
 
+def ilqgkl_batch_sharded(model, derivs_tiles, x0s: jax.Array, traj_prev,
+                         fx_model: jax.Array, cost0: jax.Array,
+                         lims=None,
+                         cfg=None,
+                         r1=None,
+                         kt: int = 16,
+                         mesh: Optional[Mesh] = None,
+                         axis: str = "b",
+                         reduce_stats: bool = False,
+                         record_trace: bool = False,
+                         interpret: bool = False):
+    """Shard the **GPS/KL lane fast path**
+    (:func:`~..solvers.batch_kl.ilqgkl_batch_lanes`) over a device mesh —
+    the fleet-scale ``iLQGkl`` (reference ``src/iLQGkl.jl:25-252``) on a pod
+    slice.
+
+    Arguments mirror :func:`~..solvers.batch_kl.ilqgkl_batch_lanes`:
+    ``x0s`` (B, T, n) pre-rolled trajectories, ``traj_prev`` a
+    :class:`GaussianPolicy` with (B, T, ...) leaves (the trust-region
+    center), ``fx_model`` (B, T, n, n) model linearizations, ``cost0`` (B,).
+    Every batch-leading input is sharded ``P(axis)``; each device runs the
+    full KL-constrained solve on its scenario shard — per-scenario η
+    brackets and divergence retries never cross ICI. With
+    ``reduce_stats=True`` the fleet scalars (total cost, iterations,
+    satisfied count) are ``psum``-reduced over the mesh and returned
+    alongside, replicated on every device/process.
+    """
+    from ..solvers.ilqgkl import ILQGKLConfig
+    if cfg is None:
+        cfg = ILQGKLConfig()
+    if mesh is None:
+        mesh = make_mesh(axis=axis)
+    n_dev = mesh.devices.size
+    B = x0s.shape[0]
+    assert B % n_dev == 0, f"batch {B} must divide over {n_dev} devices"
+    fn = _sharded_kl_solver(model, derivs_tiles, lims, cfg, r1, kt, mesh,
+                            axis, reduce_stats, record_trace, interpret)
+    return fn(x0s, traj_prev, fx_model, cost0)
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_kl_solver(model, derivs_tiles, lims, cfg, r1, kt, mesh, axis,
+                       reduce_stats, record_trace, interpret):
+    """Build (and cache — jit caches by function identity, so a fresh
+    closure per call would recompile every solve) the jitted shard_map'd
+    KL-tier lane solver."""
+    from ..solvers.batch_kl import ilqgkl_batch_lanes, BatchKLResult
+    from ..solvers.batch_kl import BatchKLTrace
+
+    def solve_shard(x0_shard, prev_shard, fx_shard, cost0_shard):
+        res = ilqgkl_batch_lanes(model, derivs_tiles, x0_shard, prev_shard,
+                                 fx_shard, cost0_shard, lims=lims, cfg=cfg,
+                                 r1=r1, kt=kt, record_trace=record_trace,
+                                 interpret=interpret)
+        if not reduce_stats:
+            return res
+        stats = jnp.stack([
+            jnp.sum(res.cost_total),
+            jnp.sum(res.n_iters).astype(x0_shard.dtype),
+            jnp.sum(res.satisfied).astype(x0_shard.dtype)])
+        return res, jax.lax.psum(stats, axis)
+
+    res_specs = BatchKLResult(
+        x=P(axis), u=P(axis), policy=_gp_skel()._replace(
+            K=P(axis), k=P(axis), sigma=P(axis), sigma_inv=P(axis)),
+        cost=P(axis), cost_total=P(axis), eta=P(axis), divergence=P(axis),
+        satisfied=P(axis), kl_violated=P(axis), n_iters=P(axis),
+        pd_failed=P(axis),
+        trace=(BatchKLTrace(*([P(axis)] * len(BatchKLTrace._fields)))
+               if record_trace else None))
+    out_specs = (res_specs, P()) if reduce_stats else res_specs
+    gp_in = _gp_skel()._replace(K=P(axis), k=P(axis), sigma=P(axis),
+                                sigma_inv=P(axis))
+    return jax.jit(jax.shard_map(
+        solve_shard, mesh=mesh,
+        in_specs=(P(axis), gp_in, P(axis), P(axis)),
+        out_specs=out_specs, check_vma=False))
+
+
 def _result_structure():
     """Abstract pytree skeleton of ILQGResult for out_specs construction."""
     return ILQGResult(x=0, u=0, policy=type(

@@ -204,6 +204,16 @@ def _ilqg_batch_lanes_jit(model: LanesModel,
       heterogeneous fleets (requires a parametrized ``model``/
       ``derivs_tiles`` with ``n_params == P``).
     - ``lims``: static ``((lo, hi),) * m`` or None.
+
+    Per-iteration introspection: the reference fires a ``plotFn`` host
+    callback every iteration (``src/iLQG.jl:160,330``); a per-element host
+    hook does not scale to 4096 lanes inside one jitted while_loop, so the
+    sanctioned equivalents here are (a) ``record_trace=True`` — the full
+    per-scenario per-iteration :class:`BatchTrace` (cost, λ, α,
+    reduce_ratio, ...) returned as (B, cap) arrays to post-process — and
+    (b) ``cfg.verbosity > 1`` fleet-aggregate rows during the solve. For a
+    genuine per-iteration callback on a single scenario, use the XLA tier's
+    ``iter_callback`` (:func:`~.ilqg.ilqg`).
     """
     assert derivs_tiles is not None or packed_derivs is not None
     n, m = model.n, model.m

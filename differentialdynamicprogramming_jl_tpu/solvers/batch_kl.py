@@ -185,6 +185,12 @@ def ilqgkl_batch_lanes(model: LanesModel,
     - ``fx_model``: model linearizations (B, T, n, n) for the covariance
       propagation; ``r1``: static (n, n) tuple (default identity).
     - ``cost0``: (B,) total cost of the pre-rolled trajectory.
+
+    Per-iteration introspection: as on :func:`~.batch.ilqg_batch_lanes`,
+    the sanctioned per-fleet-element record is ``record_trace=True``
+    (:class:`BatchKLTrace`, (B, cap) arrays); the reference's per-iteration
+    ``plot_fun`` host hook (``src/iLQGkl.jl:177``) exists on the XLA tier
+    as ``iter_callback`` (:func:`~.ilqgkl.ilqg_kl`).
     """
     n, m = model.n, model.m
     B, T = x0s.shape[0], x0s.shape[1]

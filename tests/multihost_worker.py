@@ -113,4 +113,45 @@ assert np.all(np.isfinite(D.local_slice(resl.u)))
 
 print(f"LANE_STATS cost={float(statsl[0]):.9g} iters={int(statsl[1])} "
       f"solved={int(statsl[2])}", flush=True)
+
+# ---- GPS/KL tier: lane iLQGkl driver (interpret mode) over the mesh ------
+from differentialdynamicprogramming_jl_tpu.models.pendcart import (  # noqa: E402
+    make_pendcart_problem)
+from differentialdynamicprogramming_jl_tpu.ops.forward import (  # noqa: E402
+    forward_pass)
+from differentialdynamicprogramming_jl_tpu.policy import (  # noqa: E402
+    GaussianPolicy)
+from differentialdynamicprogramming_jl_tpu.solvers.ilqgkl import (  # noqa: E402
+    ILQGKLConfig)
+from differentialdynamicprogramming_jl_tpu.parallel.mesh import (  # noqa: E402
+    ilqgkl_batch_sharded)
+
+prob32 = make_pendcart_problem(pspec, derivs="euler", dtype=jnp.float32)
+u0k_full = np.asarray(0.1 * jax.random.normal(
+    jax.random.PRNGKey(2), (Bp, Tp, 1), jnp.float32))
+rok = jax.vmap(lambda a, b: forward_pass(prob32, a, b))(
+    jnp.asarray(x0p_full), jnp.asarray(u0k_full))
+prev_full = GaussianPolicy.zeros(Tp, 4, 1, jnp.float32)
+prev_full = jax.tree_util.tree_map(
+    lambda a: np.broadcast_to(np.asarray(a), (Bp,) + a.shape), prev_full)
+prev_full = prev_full._replace(k=np.asarray(rok.u))
+dk = jax.vmap(prob32.make_derivs())(rok.x, rok.u)
+cost0_full = np.asarray(jnp.sum(rok.cost, -1))
+
+# per-process local slices of every batch-leading input → global arrays
+xk = D.distribute_batch(np.asarray(rok.x)[slp], mesh)
+prevk = jax.tree_util.tree_map(
+    lambda a: D.distribute_batch(a[slp], mesh), prev_full)
+fxk = D.distribute_batch(np.asarray(dk.fx)[slp], mesh)
+ck = D.distribute_batch(cost0_full[slp], mesh)
+resk, statsk = ilqgkl_batch_sharded(
+    pendcart_lanes(pspec), pendcart_derivs_tiles(pspec), xk, prevk, fxk, ck,
+    cfg=ILQGKLConfig(kl_step=2.0, max_iter=2), kt=2, mesh=mesh,
+    reduce_stats=True, interpret=True)
+statsk = np.asarray(statsk)
+assert np.all(np.isfinite(statsk)), statsk
+assert np.all(np.isfinite(D.local_slice(resk.u)))
+
+print(f"KL_STATS cost={float(statsk[0]):.9g} iters={int(statsk[1])} "
+      f"satisfied={int(statsk[2])}", flush=True)
 print(f"WORKER {pid} OK", flush=True)

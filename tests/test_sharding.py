@@ -113,3 +113,64 @@ def test_output_is_sharded(problem_batch):
     res = ilqg_sharded(prob, x0s, u0s, cfg=ILQGConfig(max_iter=5), mesh=mesh)
     shard_devs = {s.device for s in res.u.addressable_shards}
     assert len(shard_devs) == 8
+
+
+def test_sharded_kl_lanes_matches_single_device():
+    """The GPS/KL lane tier under shard_map (8 devices, interpret mode)
+    produces the same solves as the single-device ilqgkl_batch_lanes —
+    VERDICT r2 item 1 (the KL lane tier previously could not shard)."""
+    from differentialdynamicprogramming_jl_tpu.models.pendcart import (
+        PendCartSpec, make_pendcart_problem, default_x0, pendcart_lanes,
+        pendcart_derivs_tiles)
+    from differentialdynamicprogramming_jl_tpu.ops.forward import forward_pass
+    from differentialdynamicprogramming_jl_tpu.policy import GaussianPolicy
+    from differentialdynamicprogramming_jl_tpu.solvers.ilqgkl import (
+        ILQGKLConfig)
+    from differentialdynamicprogramming_jl_tpu.solvers.batch_kl import (
+        ilqgkl_batch_lanes)
+    from differentialdynamicprogramming_jl_tpu.parallel.mesh import (
+        ilqgkl_batch_sharded)
+
+    dtype = jnp.float32
+    B, T = 8, 10
+    spec = PendCartSpec()
+    problem = make_pendcart_problem(spec, derivs="euler", dtype=dtype)
+    x0s = (jnp.asarray([0.0, 3.0, 0.0, 0.0], dtype)[None, :]
+           + 0.1 * jax.random.normal(jax.random.PRNGKey(0), (B, 4), dtype))
+    u0s = 0.2 * jax.random.normal(jax.random.PRNGKey(1), (B, T, 1), dtype)
+    ro = jax.vmap(lambda a, b: forward_pass(problem, a, b))(x0s, u0s)
+    prev = GaussianPolicy.zeros(T, 4, 1, dtype)
+    prev = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (B,) + a.shape), prev)
+    prev = prev._replace(k=ro.u)
+    d = jax.vmap(problem.make_derivs())(ro.x, ro.u)
+    cost0 = jnp.sum(ro.cost, -1)
+    cfg = ILQGKLConfig(kl_step=2.0, max_iter=3)
+    model = pendcart_lanes(spec)
+    tiles = pendcart_derivs_tiles(spec)
+
+    ref = ilqgkl_batch_lanes(model, tiles, ro.x, prev, d.fx, cost0,
+                             cfg=cfg, kt=4, interpret=True)
+    mesh = make_mesh()
+    out, stats = ilqgkl_batch_sharded(
+        model, tiles, ro.x, prev, d.fx, cost0, cfg=cfg, kt=4, mesh=mesh,
+        reduce_stats=True, interpret=True)
+    # sharding only re-tiles the batch axis — solves must agree exactly
+    # (compiled-vs-interpret of the same kernel is bit-exact, CLAUDE.md)
+    np.testing.assert_allclose(np.asarray(out.cost_total),
+                               np.asarray(ref.cost_total), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.eta), np.asarray(ref.eta),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out.satisfied),
+                                  np.asarray(ref.satisfied))
+    np.testing.assert_array_equal(np.asarray(out.n_iters),
+                                  np.asarray(ref.n_iters))
+    np.testing.assert_allclose(np.asarray(out.u), np.asarray(ref.u),
+                               atol=1e-5)
+    # psum'd fleet stats agree with the per-scenario outputs
+    np.testing.assert_allclose(float(stats[0]),
+                               float(jnp.sum(out.cost_total)), rtol=1e-5)
+    assert float(stats[1]) == float(jnp.sum(out.n_iters))
+    assert float(stats[2]) == float(jnp.sum(out.satisfied))
+    # outputs stay device-sharded
+    assert len({s.device for s in out.u.addressable_shards}) == 8
