@@ -35,6 +35,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .batch import BatchILQGResult, ilqg_batch_lanes
 from .ilqg import ILQGConfig
@@ -103,11 +104,12 @@ def ilqg_fleet(model,
     scenarios are compacted into the smallest tile-aligned batch and
     continued alone.
 
-    Single-process scheduler (one device's fleet). On a multi-device /
-    multi-host mesh, run one ``ilqg_fleet`` per shard (scenario solves are
-    independent, so per-shard scheduling is exact); a cross-device
-    compaction would trade collective traffic for tail latency and is not
-    implemented.
+    Single-device scheduler (one device's fleet). For a multi-device /
+    multi-host mesh use :func:`ilqg_fleet_sharded`, which runs exactly this
+    per-shard compaction on every shard of the mesh (scenario solves are
+    independent, so per-shard scheduling is exact; cross-device scenario
+    migration would trade collective traffic for tail latency and is
+    deliberately not done).
 
     Returns a batch-major :class:`BatchILQGResult` (``trace`` unsupported —
     per-chunk traces are not stitched). ``n_iters`` is the per-scenario
@@ -176,3 +178,247 @@ def ilqg_fleet(model,
         **{f: jnp.asarray(v, jnp.int32 if f in int_fields else jnp.float32)
            for f, v in small.items()},
         trace=None)
+
+
+# ---------------------------------------------------------------------------
+# mesh composition: one straggler-compacting scheduler per shard
+# ---------------------------------------------------------------------------
+#
+# Scenario solves are independent, so per-shard scheduling is EXACT: each
+# device compacts its own stragglers (no cross-device scenario migration —
+# that would trade collective traffic for tail latency). SPMD constraints
+# shape the design:
+#   - every process must dispatch the same global programs, so the compacted
+#     per-shard batch size kp is agreed fleet-wide (max over shards,
+#     tile-aligned) — shards with fewer stragglers just carry more pad lanes;
+#   - compaction indices are SHARD-LOCAL, built host-side by each process
+#     from its local rows and assembled into a global (n_dev·kp,) array;
+#   - a shard with zero stragglers still runs the chunk program on pad
+#     lanes; its scatter is masked shard-wide (pads elsewhere duplicate a
+#     real unfinished index, so their duplicate writes are identical —
+#     never conflicting).
+
+
+@functools.lru_cache(maxsize=8)
+def _mesh_max_fn(mesh: Mesh, axis: str):
+    """Replicated max of a (n_dev,)-sharded counts vector — the one tiny
+    cross-host collective per chunk that agrees on kp / termination."""
+    return jax.jit(lambda c: jnp.max(c),
+                   in_shardings=NamedSharding(mesh, P(axis)),
+                   out_shardings=NamedSharding(mesh, P()))
+
+
+def _big_specs(axis):
+    return {f: P(axis) for f in _BIG}
+
+
+def _pol_specs(axis):
+    return {f: P(axis) for f in _POL}
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_cold_runner(model, packed_derivs, derivs_tiles, lims, cfg,
+                         kt_backward, kt_forward, interpret, mesh, axis,
+                         has_params):
+    """Chunk-1 program: the lock-step lane solve on every shard, with the
+    chunk length as a TRACED replicated scalar (one compile per batch
+    size, shared with the resume chunks' semantics)."""
+    from .batch import _ilqg_batch_lanes_jit
+
+    def shard_fn(x0s, u0s, *rest):
+        params = rest[0] if has_params else None
+        steps = rest[-1]
+        res = _ilqg_batch_lanes_jit(
+            model, packed_derivs, x0s, u0s, lims=lims, cfg=cfg,
+            derivs_tiles=derivs_tiles, params=params, max_steps=steps,
+            kt_backward=kt_backward, kt_forward=kt_forward,
+            interpret=interpret)
+        big = {f: getattr(res, f) for f in _BIG}
+        pol = {f: getattr(res.policy, f) for f in _POL}
+        return big, pol, jnp.transpose(_pack_small(res))   # (B_shard, 7)
+
+    in_specs = ((P(axis), P(axis))
+                + ((P(axis),) if has_params else ()) + (P(),))
+    out_specs = (_big_specs(axis), _pol_specs(axis), P(axis))
+    return jax.jit(jax.shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs, check_vma=False))
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_chunk_runner(model, packed_derivs, derivs_tiles, lims, cfg,
+                          kt_backward, kt_forward, interpret, mesh, axis,
+                          has_params):
+    """Straggler-chunk program: per shard, gather the compacted scenarios
+    from device-resident fleet state (shard-local indices), continue their
+    solve via the resume entry, and scatter back — masked shard-wide when
+    the shard had nothing left (its pad-lane results are discarded)."""
+    from .batch import _ilqg_batch_lanes_jit
+
+    def shard_fn(big, pol, lam_g, dlam_g, acc_g, *rest):
+        rest = list(rest)
+        params_g = rest.pop(0) if has_params else None
+        gidx, kcount, steps = rest
+        sub = _ilqg_batch_lanes_jit(
+            model, packed_derivs, big["x"][gidx], big["u"][gidx],
+            lims=lims, cfg=cfg, derivs_tiles=derivs_tiles,
+            params=params_g, cost0=big["cost"][gidx],
+            lam0=lam_g, dlam0=dlam_g, accepted0=acc_g, max_steps=steps,
+            kt_backward=kt_backward, kt_forward=kt_forward,
+            interpret=interpret)
+        # pads duplicate a real unfinished index when the shard has
+        # stragglers (duplicate writes identical); a zero-straggler shard
+        # masks the whole scatter to a no-op re-write of current values
+        any_left = kcount[0] > 0
+
+        def scat(dst, new):
+            cur = dst[gidx]
+            upd = jnp.where(
+                jnp.reshape(any_left, (1,) * new.ndim), new, cur)
+            return dst.at[gidx].set(upd)
+
+        new_big = {f: scat(big[f], getattr(sub, f)) for f in _BIG}
+        new_pol = {f: scat(pol[f], getattr(sub.policy, f)) for f in _POL}
+        return new_big, new_pol, jnp.transpose(_pack_small(sub))
+
+    in_specs = ((_big_specs(axis), _pol_specs(axis), P(axis), P(axis),
+                 P(axis))
+                + ((P(axis),) if has_params else ())
+                + (P(axis), P(axis), P()))
+    out_specs = (_big_specs(axis), _pol_specs(axis), P(axis))
+    return jax.jit(jax.shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs, check_vma=False))
+
+
+def ilqg_fleet_sharded(model,
+                       packed_derivs: Optional[Callable],
+                       x0s, u0s,
+                       lims: Optional[Tuple[Tuple[float, float], ...]] = None,
+                       cfg: ILQGConfig = ILQGConfig(),
+                       derivs_tiles: Optional[Callable] = None,
+                       params=None,
+                       chunk_iters: int = 16,
+                       chunk_growth: float = 8.0,
+                       max_chunks: int = 32,
+                       kt_backward: int = 25,
+                       kt_forward: int = 10,
+                       interpret: bool = False,
+                       verbose: bool = False,
+                       mesh: Optional[Mesh] = None,
+                       axis: str = "b") -> BatchILQGResult:
+    """:func:`ilqg_fleet` composed with a device mesh: solve B scenarios
+    sharded over ``mesh`` with per-shard straggler compaction, to the SAME
+    termination criteria as the lock-step sharded solve.
+
+    Works single-process (8 local devices) and multi-process
+    (``jax.distributed``): ``x0s``/``u0s``/``params`` may be process-local
+    numpy rows (assembled into global arrays here, ordered by process) or
+    already-global jax Arrays sharded ``P(axis)``. Per-chunk host traffic is
+    one (B_local,)-sized fetch per process plus ONE replicated scalar
+    collective (the fleet-wide straggler max that agrees on the compacted
+    batch size — SPMD requires every process to dispatch the same program).
+    Returns a :class:`BatchILQGResult` of global arrays sharded ``P(axis)``
+    (``trace`` unsupported, as :func:`ilqg_fleet`).
+    """
+    from ..parallel.distributed import distribute_batch, local_slice
+    from ..parallel.mesh import make_mesh
+    if mesh is None:
+        mesh = make_mesh(axis=axis)
+    n_dev = mesh.devices.size
+    nproc = jax.process_count()
+    local_dev = len([d for d in mesh.devices.ravel()
+                     if d.process_index == jax.process_index()])
+    has_params = params is not None
+
+    # global inputs (B = global fleet size); plain numpy rows are treated as
+    # this process's local slice and assembled into global arrays
+    if isinstance(x0s, np.ndarray):
+        x0s = distribute_batch(x0s, mesh, axis)
+    if isinstance(u0s, np.ndarray):
+        u0s = distribute_batch(u0s, mesh, axis)
+    B = u0s.shape[0]
+    assert B % n_dev == 0, f"batch {B} must divide over {n_dev} devices"
+    B_shard = B // n_dev
+    params_g = None
+    params_local = None
+    if has_params:
+        if isinstance(params, jax.Array) and not isinstance(params,
+                                                            np.ndarray):
+            params_local = local_slice(params)
+        else:
+            params_local = np.asarray(params)
+        params_g = distribute_batch(params_local, mesh, axis)
+
+    # ---- chunk 1: full fleet, cold start, lock-step on every shard
+    cold = _sharded_cold_runner(model, packed_derivs, derivs_tiles, lims,
+                                cfg, kt_backward, kt_forward, interpret,
+                                mesh, axis, has_params)
+    args = (x0s, u0s) + ((params_g,) if has_params else ()) + (
+        jnp.int32(chunk_iters),)
+    big, pol, small_g = cold(*args)
+    small = np.array(local_slice(small_g))          # (B_local, 7) this proc
+    small = {f: small[:, i].copy() for i, f in enumerate(_SMALL)}
+
+    mesh_max = _mesh_max_fn(mesh, axis)
+    steps = chunk_iters
+    for chunk in range(1, max_chunks):
+        unfinished = (small["reason"] == 0)         # local rows
+        counts = unfinished.reshape(local_dev, B_shard).sum(axis=1)
+        n_left_max = int(mesh_max(distribute_batch(
+            counts.astype(np.int32), mesh, axis)))
+        if verbose:
+            print(f"  fleet chunk {chunk}: local {int(unfinished.sum())} "
+                  f"running, fleet-wide shard max {n_left_max}")
+        if n_left_max == 0:
+            break
+        steps = int(round(steps * chunk_growth))
+        kp = max(B_TILE, -(-n_left_max // B_TILE) * B_TILE)
+
+        # shard-local compacted index lists, padded to the agreed kp
+        gidx_l = np.zeros((local_dev, kp), np.int32)
+        kcounts = np.zeros((local_dev,), np.int32)
+        for j in range(local_dev):
+            idx = np.flatnonzero(unfinished[j * B_shard:(j + 1) * B_shard])
+            kcounts[j] = len(idx)
+            if len(idx):
+                gidx_l[j] = np.concatenate(
+                    [idx, np.repeat(idx[:1], kp - len(idx))])
+        rows = (gidx_l + (np.arange(local_dev) * B_shard)[:, None]).ravel()
+        lam_l = small["lam"][rows].astype(np.float32)
+        dlam_l = small["dlam"][rows].astype(np.float32)
+        acc_l = small["n_accepted"][rows].astype(np.int32)
+
+        runner = _sharded_chunk_runner(model, packed_derivs, derivs_tiles,
+                                       lims, cfg, kt_backward, kt_forward,
+                                       interpret, mesh, axis, has_params)
+        rargs = (big, pol,
+                 distribute_batch(lam_l, mesh, axis),
+                 distribute_batch(dlam_l, mesh, axis),
+                 distribute_batch(acc_l, mesh, axis))
+        if has_params:
+            rargs += (distribute_batch(params_local[rows], mesh, axis),)
+        rargs += (distribute_batch(gidx_l.ravel(), mesh, axis),
+                  distribute_batch(kcounts, mesh, axis),
+                  jnp.int32(steps))
+        big, pol, sub_small_g = runner(*rargs)
+        sub_small = np.array(local_slice(sub_small_g))  # (local_dev·kp, 7)
+        for i, f in enumerate(_SMALL):
+            for j in range(local_dev):
+                k = int(kcounts[j])
+                if k == 0:
+                    continue
+                r = rows[j * kp:j * kp + k]
+                v = sub_small[j * kp:j * kp + k, i]
+                if f == "n_iters":
+                    small[f][r] += v
+                else:
+                    small[f][r] = v
+
+    from ..policy import GaussianPolicy
+    int_fields = ("n_iters", "n_accepted", "reason")
+    small_global = {
+        f: distribute_batch(
+            v.astype(np.int32 if f in int_fields else np.float32),
+            mesh, axis)
+        for f, v in small.items()}
+    return BatchILQGResult(
+        policy=GaussianPolicy(**pol), **big, **small_global, trace=None)

@@ -114,6 +114,36 @@ assert np.all(np.isfinite(D.local_slice(resl.u)))
 print(f"LANE_STATS cost={float(statsl[0]):.9g} iters={int(statsl[1])} "
       f"solved={int(statsl[2])}", flush=True)
 
+# ---- fleet scheduler × mesh: per-shard straggler compaction --------------
+from differentialdynamicprogramming_jl_tpu.solvers.fleet import (  # noqa: E402
+    ilqg_fleet_sharded)
+from differentialdynamicprogramming_jl_tpu.solvers.batch import (  # noqa: E402
+    ilqg_batch_lanes)
+from jax.sharding import NamedSharding, PartitionSpec  # noqa: E402
+
+resf = ilqg_fleet_sharded(
+    pendcart_lanes(pspec), None,
+    x0p_full[slp].astype(np.float32), u0p_full[slp].astype(np.float32),
+    lims=((-5.0, 5.0),), cfg=cfgp, derivs_tiles=pendcart_derivs_tiles(pspec),
+    chunk_iters=1, kt_backward=2, kt_forward=2, interpret=True, mesh=mesh)
+# per-scenario exactness vs a local single-process lock-step solve of the
+# FULL fleet (chunked+compacted resume ≡ one uninterrupted solve)
+reff = ilqg_batch_lanes(
+    pendcart_lanes(pspec), None, jnp.asarray(x0p_full),
+    jnp.asarray(u0p_full), lims=((-5.0, 5.0),), cfg=cfgp,
+    derivs_tiles=pendcart_derivs_tiles(pspec), kt_backward=2, kt_forward=2,
+    interpret=True)
+np.testing.assert_array_equal(D.local_slice(resf.reason),
+                              np.asarray(reff.reason)[slp])
+np.testing.assert_allclose(D.local_slice(resf.cost_total),
+                           np.asarray(reff.cost_total)[slp], rtol=1e-5)
+np.testing.assert_allclose(D.local_slice(resf.u),
+                           np.asarray(reff.u)[slp], atol=1e-4)
+# replicated fleet-wide stat — must print identically on every process
+_psum = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, PartitionSpec()))
+print(f"FLEET_STATS cost={float(_psum(resf.cost_total)):.9g} "
+      f"iters={int(_psum(resf.n_iters))}", flush=True)
+
 # ---- GPS/KL tier: lane iLQGkl driver (interpret mode) over the mesh ------
 from differentialdynamicprogramming_jl_tpu.models.pendcart import (  # noqa: E402
     make_pendcart_problem)

@@ -48,7 +48,7 @@ def test_two_process_pod():
         assert f"WORKER {i} OK" in out, out
 
     # fleet-wide psum results must be identical on every process
-    for tag in ("XLA_STATS", "LANE_STATS", "KL_STATS"):
+    for tag in ("XLA_STATS", "LANE_STATS", "FLEET_STATS", "KL_STATS"):
         vals = [re.search(rf"{tag} (.*)", o) for o in outs]
         assert all(v is not None for v in vals), outs
         assert vals[0].group(1) == vals[1].group(1), (
