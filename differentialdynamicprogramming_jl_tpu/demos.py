@@ -75,10 +75,12 @@ def demo_pendcart(T: int = 600, dtype=jnp.float64, plot: bool = False,
     Note: with the reference's exact constants and ±5 limits the upright goal
     is dynamically unreachable from x0 (holding torque needs |u| > 6.7; the
     d=0.99 damping kills pump-up) and the reference algorithm converges to
-    the hanging local optimum (verified bit-exactly against an independent
-    oracle — see ``tests/test_pendcart.py``). The demo therefore defaults to
-    feasible ±10 limits, where the swing-up succeeds; pass ``lims_val=5.0``
-    for the exact reference configuration."""
+    the hanging local optimum (verified against the independent NumPy
+    oracle; the Julia reference itself has never been executed here — see
+    the provenance caveat in ``tests/test_pendcart.py``). The demo
+    therefore defaults to feasible ±10 limits, where the swing-up
+    succeeds; pass ``lims_val=5.0`` for the exact reference
+    configuration."""
     spec = PendCartSpec()
     prob = make_pendcart_problem(spec, derivs=derivs, dtype=dtype)
     x0 = default_x0(dtype)

@@ -10,7 +10,17 @@ swing energy per fall, capping pump-up rises at θ≈2.0. The reference demo
 configuration therefore converges to the hanging local optimum (total cost
 29341.0035; its test suite only smoke-runs the demo, ``test/runtests.jl:10``).
 We assert THAT exact parity, and demonstrate the swing-up capability at
-feasible limits (±10)."""
+feasible limits (±10).
+
+Provenance caveat (what "parity" rests on): the Julia reference has never
+been EXECUTED in this environment (no Julia runtime). The 29341.0035 claim
+rests on (a) the independent NumPy oracle (``tests/oracle.py`` —
+structurally independent, but a translation of the same reference source,
+so it shares any *semantic misreading* of ``src/system_pendcart.jl``),
+(b) the static-torque infeasibility argument above, and (c) the
+reference's own MC cost bounds holding on the linear benchmark. If a Julia
+runtime ever becomes available, run ``demo_pendcart()`` there and record
+the true outputs into ``tests/golden.npz`` (tools/record_golden.py)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
