@@ -1,14 +1,16 @@
-"""Benchmark: batched control-limited pendulum-cart iLQG on TPU.
+"""Headline benchmark: the PRODUCT driver — a full fixed-budget
+``ilqg_batch_lanes`` solve on TPU, reported per iteration.
 
-Workload = BASELINE.json north star: B=4096 independent pendcart scenarios
-(varied x0), T=500, control-limited (boxQP active), f32. Measures the
-steady-state latency of one full iLQG outer-loop iteration for the whole
-fleet — packed analytic derivatives + Pallas backward kernel (Riccati
-recursion + boxQP, batch-on-lanes) + Pallas 6-α line-searched forward pass —
-against the <10 ms/iteration target.
+Workload = BASELINE.json north star: B=4096 independent control-limited
+pendulum-cart scenarios (varied x0), T=500, f32, boxQP active. Times a
+complete 20-iteration-budget solve through the public batch driver —
+initial rollout α-sweep, in-kernel analytic derivatives, Pallas backward
+kernel (Riccati + boxQP), per-scenario λ-retry, 6-α line search, accept/
+reject + termination bookkeeping — and divides by the iteration budget.
+(The stripped single-step microbench lives in tools/bench_step.py.)
 
 Timing note: under the axon TPU relay, ``jax.block_until_ready`` does not
-reliably block, so the harness queues N dependent iterations and forces
+reliably block, so the harness queues N data-dependent solves and forces
 completion with one host scalar fetch, subtracting the measured fetch
 baseline (see tools/timing.py).
 
@@ -24,7 +26,8 @@ import numpy as np
 
 B = 4096
 T = 500
-N_CHAIN = 20
+ITER_BUDGET = 20
+N_CHAIN = 3
 TARGET_MS = 10.0
 
 
@@ -48,12 +51,8 @@ def _fetch_baseline():
 def build():
     from differentialdynamicprogramming_jl_tpu.models.pendcart import (
         PendCartSpec, default_x0, pendcart_lanes, pendcart_derivs_tiles)
-    from differentialdynamicprogramming_jl_tpu.ops.pallas.pack import (
-        to_lanes, vec_to_lanes)
-    from differentialdynamicprogramming_jl_tpu.ops.pallas.forward_kernel import (
-        forward_lanes)
     from differentialdynamicprogramming_jl_tpu.solvers.batch import (
-        ilqg_iteration_lanes)
+        ilqg_batch_lanes)
     from differentialdynamicprogramming_jl_tpu.solvers.ilqg import (
         ILQGConfig, default_alphas)
 
@@ -71,48 +70,41 @@ def build():
                          * jnp.array([1, 0, 0, 0], dtype))
     u0s = jnp.zeros((B, T, 1), dtype)
 
-    # initial rollout in lane layout (u = 1·u0 via the k:=u0 trick)
-    x0_l = to_lanes(x0s[:, None, :], B)[0]
-    u_l = to_lanes(u0s, B)
-    L = x0_l.shape[1:]
-    traj0 = jnp.zeros((T, 5) + L, dtype)
-    gains0 = jnp.concatenate([u_l, jnp.zeros((T, 4) + L, dtype)], axis=1)
-    fb = forward_lanes(traj0, gains0, x0_l, jnp.ones((1,) + L, dtype),
-                       model=model, lims=lims, gk=0, gK=1, emit_traj=True,
-                       k_t=16)
-    tot = fb.totals[0]
-    lam = jnp.ones(L, dtype)
+    def solve(x0s_, u0s_):
+        return ilqg_batch_lanes(model, None, x0s_, u0s_, lims=lims, cfg=cfg,
+                                derivs_tiles=tiles,
+                                max_steps=ITER_BUDGET)
 
-    step = jax.jit(ilqg_iteration_lanes(model, None, lims, cfg,
-                                        derivs_tiles=tiles))
-    return step, (fb.traj, tot, lam)
+    return solve, x0s, u0s
 
 
 def main():
-    step, state = build()
+    solve, x0s, u0s = build()
     base = _fetch_baseline()
 
-    # warmup: compile + a couple of real iterations
-    for _ in range(2):
-        state = step(*state)
-    _fetch(state)
+    # warmup: compile + one real solve
+    res = solve(x0s, u0s)
+    _fetch(res.cost_total)
 
     # best-of-5: latency through the shared axon relay drifts with tenancy
-    # (±40% observed between sessions — BASELINE.md round 2), so take the
-    # quietest window
+    # (±40% observed between sessions — BASELINE.md round 2)
     best = float("inf")
     for _ in range(5):
         t0 = time.perf_counter()
-        s = state
+        r = res
         for _ in range(N_CHAIN):
-            s = step(*s)
-        _fetch(s)
-        dt = (time.perf_counter() - t0 - base) / N_CHAIN
+            # serialize the chained solves with a zero-valued data
+            # dependency on the previous result
+            u_dep = u0s + 0.0 * r.cost_total[:, None, None]
+            r = solve(x0s, u_dep)
+        _fetch(r.cost_total)
+        dt = (time.perf_counter() - t0 - base) / (N_CHAIN * ITER_BUDGET)
         best = min(best, dt)
 
     ms = best * 1e3
     print(json.dumps({
-        "metric": f"ilqg_iter_latency_b{B}_T{T}_pendcart_boxqp_f32",
+        "metric": (f"ilqg_full_driver_iter_latency_b{B}_T{T}"
+                   f"_pendcart_boxqp_f32"),
         "value": round(ms, 3),
         "unit": "ms",
         "vs_baseline": round(TARGET_MS / ms, 3),
