@@ -551,6 +551,14 @@ def _make_kernel(n: int, m: int, T: int, K_T: int, reg_type: int,
                 + sum(K_t[mi][i] * (Quu_k[mi] + Qu[mi]) for mi in range(m))
                 + sum(Qux[mi][i] * k_t[mi] for mi in range(m))
                 for i in range(n)]
+        # NOTE: computing only the upper triangles of Qxx/Quu/Vxx and
+        # mirroring (the "symmetry headroom" named in BASELINE.md round 2)
+        # was implemented and A/B-measured in round 3: it is ~1.5-2.5%
+        # SLOWER (0.394-0.401 ms full → 0.406-0.411 ms triangular at
+        # B=4096, T=500, k_t=25; tools/ab_backward.py, interleaved legs,
+        # 400-kernel on-device chains). Mosaic's scheduling absorbs the
+        # redundant FMAs; the mirrored tile aliases only add register
+        # pressure. Keep the straightforward full computation.
         Vxx_raw = [[Qxx[i][j]
                     + sum(K_t[mi][i] * QuuK[mi][j] for mi in range(m))
                     + sum(K_t[mi][i] * Qux[mi][j] for mi in range(m))
