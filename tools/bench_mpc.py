@@ -1,0 +1,114 @@
+"""MPC-grade latency at production scale — the BASELINE.json north star
+("MPC-grade per-solve latency") measured on the real workload shape.
+
+Times the `demo_mpc(tier="lanes")` receding-horizon step at B=4096:
+a warm-started 5-iteration `ilqg_batch_lanes` solve (no α-sweep), one
+true-dynamics step, and the plan shift — plus the cold-start full-budget
+solve that seeds the loop. Fetch-synchronized per tools/timing.py (under
+the axon relay `block_until_ready` does not reliably block): the MPC chain
+is naturally serialized through x, so N steps are queued host-fetch-free
+and completion is forced with ONE scalar fetch.
+
+Prints a small JSON dict for BASELINE.md.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+B, T, INNER = 4096, 300, 5
+N_STEADY = 20
+
+
+def _fetch(x):
+    return np.asarray(jax.device_get(jnp.ravel(x)[0]))
+
+
+def main():
+    from differentialdynamicprogramming_jl_tpu.models.pendcart import (
+        PendCartSpec, default_x0, make_pendcart_problem, pendcart_lanes,
+        pendcart_derivs_tiles)
+    from differentialdynamicprogramming_jl_tpu.solvers.batch import (
+        ilqg_batch_lanes)
+    from differentialdynamicprogramming_jl_tpu.solvers.ilqg import (
+        ILQGConfig, default_alphas)
+    from timing import fetch_baseline
+
+    dtype = jnp.float32
+    spec = PendCartSpec()
+    prob = make_pendcart_problem(spec, derivs="euler", dtype=dtype)
+    model = pendcart_lanes(spec)
+    tiles = pendcart_derivs_tiles(spec)
+    lims_t = ((-10.0, 10.0),)
+    cfg = ILQGConfig(alphas=default_alphas(0.2, -3.0, 4), reg_type=2,
+                     lam_max=1e15, max_iter=INNER, iter_cap=INNER + 4)
+    cfg0 = ILQGConfig(alphas=cfg.alphas, reg_type=2, lam_max=1e15,
+                      max_iter=200)
+
+    key = jax.random.PRNGKey(0)
+    x = (default_x0(dtype)[None, :]
+         + 0.2 * jax.random.normal(key, (B, 4), dtype)
+         * jnp.array([1, 1, 0, 0], dtype))
+
+    def solve(x_, u_, cfg_, warm):
+        return ilqg_batch_lanes(model, None, x_, u_, lims=lims_t, cfg=cfg_,
+                                derivs_tiles=tiles, warm_start=warm)
+
+    dyn0 = jax.jit(jax.vmap(lambda a, b: prob.dynamics(a, b, 0)))
+
+    def mpc_step(x_, u_):
+        res = solve(x_, u_, cfg, True)
+        x_next = dyn0(x_, res.u[:, 0])
+        u_shift = jnp.concatenate(
+            [res.u[:, 1:], jnp.zeros((B, 1, 1), dtype)], axis=1)
+        return x_next, u_shift
+
+    base = fetch_baseline()
+
+    # ---- cold start: full-budget solve from zeros (compile excluded) ----
+    u0 = jnp.zeros((B, T, 1), dtype)
+    t0 = time.perf_counter()
+    res0 = solve(x, u0, cfg0, False)
+    _fetch(res0.cost_total)
+    compile_plus_first = time.perf_counter() - t0
+    cold_best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        # serialize re-runs with a zero-valued dependency
+        r = solve(x, u0 + 0.0 * res0.cost_total[:, None, None], cfg0, False)
+        _fetch(r.cost_total)
+        cold_best = min(cold_best, time.perf_counter() - t0 - base)
+    u_warm = res0.u
+
+    # ---- steady state: chain N_STEADY warm MPC steps, one fetch ----
+    xs, us = mpc_step(x, u_warm)          # compile warm path
+    _fetch(xs)
+    steady_best = float("inf")
+    for _ in range(3):
+        xs, us = x, u_warm
+        t0 = time.perf_counter()
+        for _ in range(N_STEADY):
+            xs, us = mpc_step(xs, us)
+        _fetch(xs)
+        steady_best = min(steady_best,
+                          (time.perf_counter() - t0 - base) / N_STEADY)
+
+    err = float(jnp.mean(jnp.abs(xs[:, 0] - np.pi)))
+    print(json.dumps({
+        "workload": f"pendcart MPC B={B} T={T} inner={INNER} f32 lanes",
+        "cold_solve_ms": round(cold_best * 1e3, 2),
+        "compile_plus_first_s": round(compile_plus_first, 1),
+        "steady_ms_per_mpc_step": round(steady_best * 1e3, 2),
+        "steady_ms_per_ilqg_iter": round(steady_best * 1e3 / INNER, 3),
+        "mean_angle_err_rad": round(err, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
