@@ -39,7 +39,7 @@ from ..ops.pallas.pack import (to_lanes, from_lanes, vec_to_lanes,
                                vec_from_lanes, padded_batch)
 from ..ops.pallas.backward_kernel import OutLayout, backward_lanes
 from ..ops.pallas.forward_kernel import LanesModel, forward_lanes
-from .ilqg import ILQGConfig
+from .ilqg import ILQGConfig, tol_fun_effective
 
 
 class BatchTrace(NamedTuple):
@@ -427,7 +427,11 @@ def _ilqg_batch_lanes_jit(model: LanesModel,
         lam_n = jnp.where(accept, lam_acc, lam_rej)
         dlam_n = jnp.where(accept, dlam_acc, dlam_rej)
 
-        cost_conv = accept & (dcost_sel < cfg.tol_fun)
+        # dtype-resolution floor on the exit threshold (see
+        # ilqg.tol_fun_effective): essential on this tier — the lane fast
+        # path is f32-only, where dcost < 1e-7 absolute is unreachable
+        cost_conv = accept & (dcost_sel < tol_fun_effective(
+            cfg.tol_fun, c.cost_tot))
         lam_exceeded = (active & (~accept) & (~grad_conv)
                         & (lam_n > cfg.lam_max))
 

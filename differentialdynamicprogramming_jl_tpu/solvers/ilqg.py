@@ -42,6 +42,13 @@ class ILQGConfig:
     (``src/iLQG.jl:143-163``). Static under jit."""
 
     alphas: Tuple[float, ...] = default_alphas()
+    # cost-change exit threshold (src/iLQG.jl:150). The working threshold
+    # is max(tol_fun, 8·eps(dtype)·|cost|) — see tol_fun_effective: the
+    # reference's 1e-7 absolute is finer than f32 cost resolution for any
+    # |cost| > ~0.1, so a pure-f32 solve could never take this exit and
+    # instead burned ~15 rejected iterations escalating λ to λmax
+    # (measured: tools/probe_f32_drift.py, BASELINE.md round 3). At f64
+    # the floor is ~8e-16·|cost|, inactive for every reference problem.
     tol_fun: float = 1e-7
     tol_grad: float = 1e-4
     max_iter: int = 500
@@ -74,6 +81,20 @@ class ILQGConfig:
 
     def cap(self) -> int:
         return self.iter_cap if self.iter_cap is not None else self.max_iter + 128
+
+
+def tol_fun_effective(tol_fun, cost_total):
+    """Cost-change exit threshold floored at the dtype's cost resolution:
+    ``max(tol_fun, 8·eps·|cost|)``. An improvement smaller than a few ulps
+    of the total cost is unobservable in that dtype's cost evaluation, so
+    waiting for ``dcost < 1e-7`` absolute (``src/iLQG.jl:306``) leaves an
+    f32 solve stalling at its noise floor until λ escalation aborts it
+    (exit 3 instead of 2, ~15 wasted rejected iterations — measured in
+    tools/probe_f32_drift.py). Inactive at f64 for all reference-scale
+    costs (floor ≈ 1.8e-15·|cost|)."""
+    eps = jnp.finfo(jnp.asarray(cost_total).dtype).eps
+    return jnp.maximum(jnp.asarray(tol_fun, jnp.asarray(cost_total).dtype),
+                       8.0 * eps * jnp.abs(cost_total))
 
 
 class ILQGResult(NamedTuple):
@@ -282,7 +303,8 @@ def _ilqg_impl(problem, x0, u0, lims, cfg, cost0, pre_rolled,
         lam_new = jnp.where(accept, lam_acc, lam_rej)
         dlam_new = jnp.where(accept, dlam_acc, dlam_rej)
 
-        cost_conv = accept & (ls.dcost < cfg.tol_fun)
+        cost_conv = accept & (ls.dcost < tol_fun_effective(
+            cfg.tol_fun, jnp.sum(c.cost)))
         lam_exceeded = (~accept) & (lam_new > cfg.lam_max)
 
         done = grad_conv | cost_conv | lam_exceeded

@@ -140,3 +140,54 @@ def test_vmap_batched_solver(key):
     totals = jnp.sum(res.cost, axis=-1)
     initials = res.trace.cost[:, 0]
     assert bool(jnp.all(totals <= initials))
+
+
+def _fixed_lti_spec(dtype, T):
+    """Deterministic reference-construction LTI spec (src/demo_linear.jl:
+    9-26) generated in NumPy f64 and cast, so every dtype solves the SAME
+    problem (jax.random draws differ between f32 and f64)."""
+    import scipy.linalg
+    from differentialdynamicprogramming_jl_tpu.models.linear import LTISpec
+    n, m, h = 10, 2, 0.01
+    rng = np.random.default_rng(7)
+    M = rng.standard_normal((n, n))
+    A = scipy.linalg.expm(h * (M - M.T))
+    Bm = h * rng.standard_normal((n, m))
+    u0 = 0.1 * np.random.default_rng(12345).standard_normal((T, m))
+    return LTISpec(A=jnp.asarray(A, dtype), B=jnp.asarray(Bm, dtype),
+                   Q=jnp.asarray(h * np.eye(n), dtype),
+                   R=jnp.asarray(0.1 * h * np.eye(m), dtype),
+                   x0=2.0 * jnp.ones((n,), dtype),
+                   u0=jnp.asarray(u0, dtype))
+
+
+def test_f32_exits_on_cost_convergence():
+    """The cost-change exit threshold is floored at the dtype's cost
+    resolution (`tol_fun_effective`): an f32 solve must terminate via a
+    clean convergence exit at the f32 noise floor instead of stalling
+    there and escalating λ to λmax. On this pinned problem the pre-fix
+    behavior was reason 3 (λ>λmax) after ~41 total iterations vs ~14
+    accepted (measured via tools/probe_f32_drift.py, BASELINE.md round
+    3); post-fix it exits reason 2 with no rejection tail, at the f64
+    optimum of the same problem."""
+    T = 1000
+    from differentialdynamicprogramming_jl_tpu.solvers.ilqg import (
+        default_alphas)
+    cfg = ILQGConfig(alphas=default_alphas(0.2, -3.0, 6), reg_type=2,
+                     lam_max=1e15, max_iter=100, iter_cap=200)
+    spec32 = _fixed_lti_spec(jnp.float32, T)
+    spec64 = _fixed_lti_spec(jnp.float64, T)
+
+    r32 = ilqg(make_lti_problem(spec32, T), spec32.x0, spec32.u0,
+               lims=jnp.array([[-0.6, 0.6]] * 2, jnp.float32), cfg=cfg)
+    r64 = ilqg(make_lti_problem(spec64, T), spec64.x0, spec64.u0,
+               lims=jnp.array([[-0.6, 0.6]] * 2, jnp.float64), cfg=cfg)
+
+    # a clean cost-convergence exit, NOT the λ>λmax abort (pre-fix: 3)
+    assert int(r32.reason) == 2, int(r32.reason)
+    # no λ-escalation tail (pre-fix: ~27 rejected iterations)
+    assert int(r32.n_iters) - int(r32.n_accepted) <= 12
+    c32, c64 = float(jnp.sum(r32.cost)), float(jnp.sum(r64.cost))
+    np.testing.assert_allclose(c32, c64, rtol=1e-4)
+    # f64 semantics unchanged: floor ≈ 1.8e-15·|cost| is inactive
+    assert int(r64.reason) in (1, 2)

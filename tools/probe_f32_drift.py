@@ -125,6 +125,7 @@ def run_lanes(out_path, Ts):
             out[f"{bench}:{T}"] = {
                 "cost": cost.tolist(),
                 "iters": np.asarray(res.n_accepted).tolist(),
+                "total_iters": np.asarray(res.n_iters).tolist(),
                 "reason": np.asarray(res.reason).tolist(),
                 "wall_s": round(dt, 1),
             }
@@ -174,6 +175,7 @@ def run_xla64(out_path, Ts, x64=True):
             out[f"{bench}:{T}"] = {
                 "cost": cost.tolist(),
                 "iters": np.asarray(res.n_accepted).tolist(),
+                "total_iters": np.asarray(res.n_iters).tolist(),
                 "reason": np.asarray(res.reason).tolist(),
                 "wall_s": round(dt, 1),
             }
