@@ -55,15 +55,30 @@ def init_distributed(coordinator_address: Optional[str] = None,
     (``"host:port"``, the address of process 0).
 
     ``cpu_collectives`` selects the cross-process CPU collective backend
-    ("gloo" default, "mpi" where available); it is applied only when
-    ``jax_platforms`` explicitly names cpu (XLA's default single-process CPU
-    collectives cannot cross process boundaries). Auto-detected TPU/GPU
-    processes (``jax_platforms`` unset) are left untouched — probing the
-    resolved backend here would initialize XLA before
-    ``jax.distributed.initialize``, which must run first.
+    ("gloo" default, "mpi" where available); it is applied when
+    ``jax_platforms`` explicitly names cpu, OR when the process can only
+    resolve to cpu anyway (no accelerator PJRT plugin registered — checked
+    via the registration table, which is populated at import time, so this
+    does NOT initialize XLA before ``jax.distributed.initialize``). XLA's
+    default single-process CPU collectives silently hang across process
+    boundaries, so a CPU-only pod must get gloo even when the user relies
+    on platform auto-detection. Processes with an accelerator plugin
+    registered and ``jax_platforms`` unset are left untouched.
     """
     platforms = jax.config.jax_platforms or ""
-    if "cpu" in platforms.split(","):
+    use_cpu_collectives = "cpu" in platforms.split(",")
+    if not platforms:
+        try:  # registered (not initialized) PJRT factories
+            from jax._src import xla_bridge as _xb
+            use_cpu_collectives = set(_xb._backend_factories) <= {
+                "cpu", "interpreter"}
+        except Exception:  # pragma: no cover - private API moved
+            import warnings
+            warnings.warn(
+                "init_distributed: cannot tell whether this process is "
+                "CPU-only; if it is, set jax.config.update('jax_platforms',"
+                " 'cpu') first or cross-process CPU collectives will hang")
+    if use_cpu_collectives:
         try:
             jax.config.update("jax_cpu_collectives_implementation",
                               cpu_collectives)

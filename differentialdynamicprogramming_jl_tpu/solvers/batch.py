@@ -516,20 +516,30 @@ def _ilqg_batch_lanes_jit(model: LanesModel,
     reason = jnp.where((c.reason == 0) & (c.accepted > cfg.max_iter),
                        4, c.reason).astype(jnp.int32)
 
+    # Lanes that diverged at init (reason 5) are done before the first
+    # iteration, but their (possibly non-finite) trajectory still feeds
+    # the kernels, whose α=0 retrace turns Inf into NaN (K·(Inf−Inf)).
+    # Restore a zero-gain UNIT-covariance policy and zero value expansion
+    # for them — ONE select outside the loop, so the hot path keeps
+    # carrying the streams unmasked. The reference exits with the initial
+    # trajectory and no policy in this case (src/iLQG.jl:205-210); the
+    # XLA tier returns GaussianPolicy.zeros, whose Σ = Σ⁻¹ = I
+    # (policy.py:47-55) — mirror that here so a downstream GPS/KL
+    # consumer never sees a singular Σ on a failed lane.
+    bad5 = ~any0
+    eye_slots = jnp.zeros((c.bo.shape[1],), c.bo.dtype)
+    for base in (lay.quui, lay.quu):          # σ and σ⁻¹ slot blocks
+        for i in range(m):
+            eye_slots = eye_slots.at[base + i * m + i].set(1.0)
+    bo5 = eye_slots.reshape((1, -1) + (1,) * (c.bo.ndim - 2))
+    c = c._replace(bo=jnp.where(_bc(bad5, c.bo), bo5, c.bo))
     if not pre_rolled:
-        # lanes that diverged at init (reason 5) are done before the first
-        # iteration, but their (possibly non-finite) trajectory still feeds
-        # the kernels, whose α=0 retrace turns Inf into NaN (K·(Inf−Inf)).
-        # Restore the frozen initial rollout and a zero policy for them —
-        # ONE select outside the loop, so the hot path keeps carrying the
-        # streams unmasked. The reference exits with the initial trajectory
-        # and no policy in this case (src/iLQG.jl:205-210), as does the XLA
-        # tier (solvers/ilqg.py: done=~init_ok with policy0 zeros).
-        bad5 = ~any0
+        # rollout entry: also restore the frozen initial rollout (a
+        # pre-rolled lane instead keeps the user-supplied trajectory
+        # verbatim through the in-loop masked select, src/iLQG.jl:193-197)
         c = c._replace(
             traj=jnp.where(_bc(bad5, c.traj), traj_init, c.traj),
-            cost_tot=jnp.where(bad5, tot_init, c.cost_tot),
-            bo=jnp.where(_bc(bad5, c.bo), 0.0, c.bo))
+            cost_tot=jnp.where(bad5, tot_init, c.cost_tot))
 
     # ---- unpack to batch-major
     x = from_lanes(c.traj[:, :n], B, (n,))

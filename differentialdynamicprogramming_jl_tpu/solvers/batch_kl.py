@@ -317,9 +317,12 @@ def ilqgkl_batch_lanes(model: LanesModel,
         # logdet DomainError (src/klutils.jl:84): abort the lane with a
         # diagnostic instead of silently trusting the clamped logdet
         pd_bad_now = active & (~jnp.all(pdok_t, axis=0))
-        # reference reduce_ratio at α=1: Δcost / -(dV₁+dV₂)
-        # (src/iLQGkl.jl:137-140)
-        dcost = c.tot_new - fb.totals[0]
+        # reference reduce_ratio at α=1: Δcost / -(dV₁+dV₂), with Δcost
+        # measured against the FIXED pre-rolled cost — the reference never
+        # moves x/u/cost inside its loop (src/iLQGkl.jl:137-140,239-240),
+        # so every iteration compares to the trust-region center, exactly
+        # as the XLA tier's `sum(cost0) - sum(ro.cost)` does
+        dcost = tot0 - fb.totals[0]
         expected = -(res.stats[0] + res.stats[1])
         ratio = jnp.where(expected != 0, dcost / expected, 0.0)
 
@@ -367,8 +370,7 @@ def ilqgkl_batch_lanes(model: LanesModel,
             ti = jnp.minimum(c.it, cap - 1)
             trace = BatchKLTrace(
                 cost=c.trace.cost.at[ti].set(tot_new),
-                improvement=c.trace.improvement.at[ti].set(
-                    c.tot_new - tot_new),
+                improvement=c.trace.improvement.at[ti].set(dcost),
                 reduce_ratio=c.trace.reduce_ratio.at[ti].set(ratio),
                 divergence=c.trace.divergence.at[ti].set(
                     jnp.where(upd, div, c.div)),

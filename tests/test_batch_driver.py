@@ -197,9 +197,55 @@ def test_batch_lanes_init_divergence_frozen():
     assert not np.any(np.isnan(np.asarray(res.x[0]))), res.x[0]
     np.testing.assert_array_equal(np.asarray(res.u[1]), 0.0)
     np.testing.assert_array_equal(np.asarray(res.x[1][0]), [100.0])
-    # zero policy on the diverged lane (XLA-tier parity: policy0 zeros)
+    # zero policy on the diverged lane (XLA-tier parity: policy0 zeros,
+    # whose covariance is the IDENTITY — policy.py:47-55 — so downstream
+    # GPS/KL consumers never see a singular Σ)
     np.testing.assert_array_equal(np.asarray(res.policy.K[1]), 0.0)
+    eye = np.broadcast_to(np.eye(1, dtype=np.float32), (T_, 1, 1))
+    np.testing.assert_array_equal(np.asarray(res.policy.sigma[1]), eye)
+    np.testing.assert_array_equal(np.asarray(res.policy.sigma_inv[1]), eye)
     assert not np.any(np.isnan(np.asarray(res.Vxx[1])))
     # the healthy lane is untouched by the restore
+    assert np.all(np.isfinite(np.asarray(res.x[0])))
+    assert np.all(np.isfinite(float(res.cost_total[0])))
+
+
+def test_batch_lanes_prerolled_init_divergence():
+    """The reason-5 restore covers the PRE-ROLLED entry too: a supplied
+    trajectory with non-finite states/costs must come back verbatim (the
+    reference keeps user trajectories on reject, src/iLQG.jl:193-197)
+    with the zero-gain unit-covariance policy — not the NaN the kernels
+    compute from its Inf-bearing stream."""
+    from differentialdynamicprogramming_jl_tpu.models.linear import (
+        LTISpec, lti_lanes, lti_derivs_tiles)
+    T_, B_ = 8, 2
+    one = jnp.ones((1, 1), jnp.float32)
+    spec = LTISpec(A=one, B=one, Q=one, R=one,
+                   x0=jnp.zeros((1,), jnp.float32),
+                   u0=jnp.zeros((T_, 1), jnp.float32))
+    x0s = jnp.ones((B_, T_, 1), jnp.float32)
+    x0s = x0s.at[1, 5, 0].set(jnp.inf)           # lane 1: Inf state
+    u0s = jnp.zeros((B_, T_, 1), jnp.float32)
+    cost0 = jnp.full((B_, T_), 0.5, jnp.float32)
+    cost0 = cost0.at[1, 5].set(jnp.inf)          # ... and Inf cost
+    cfg = ILQGConfig(alphas=default_alphas(0.2, -3.0, 3), reg_type=1,
+                     max_iter=2, iter_cap=3)
+    res = ilqg_batch_lanes(lti_lanes(spec), None, x0s, u0s, cost0=cost0,
+                           cfg=cfg, derivs_tiles=lti_derivs_tiles(spec),
+                           kt_backward=2, kt_forward=2, interpret=True)
+    reason = np.asarray(res.reason)
+    assert reason[1] == 5, reason
+    assert reason[0] != 5, reason
+    # the user-supplied trajectory comes back verbatim (Inf included)
+    np.testing.assert_array_equal(np.asarray(res.x[1]), np.asarray(x0s[1]))
+    np.testing.assert_array_equal(np.asarray(res.u[1]), 0.0)
+    # zero-gain unit-covariance policy, finite value expansion
+    np.testing.assert_array_equal(np.asarray(res.policy.K[1]), 0.0)
+    eye = np.broadcast_to(np.eye(1, dtype=np.float32), (T_, 1, 1))
+    np.testing.assert_array_equal(np.asarray(res.policy.sigma[1]), eye)
+    np.testing.assert_array_equal(np.asarray(res.policy.sigma_inv[1]), eye)
+    assert not np.any(np.isnan(np.asarray(res.policy.K)))
+    assert not np.any(np.isnan(np.asarray(res.Vxx[1])))
+    # the healthy lane still solves
     assert np.all(np.isfinite(np.asarray(res.x[0])))
     assert np.all(np.isfinite(float(res.cost_total[0])))

@@ -73,7 +73,7 @@ def test_batch_kl_matches_xla_driver():
     out = ilqgkl_batch_lanes(
         pendcart_lanes(spec), pendcart_derivs_tiles(spec),
         ro.x, prev, d.fx, jnp.sum(ro.cost, -1), cfg=cfg,
-        kt=4, interpret=True)
+        kt=4, interpret=True, record_trace=True)
 
     np.testing.assert_allclose(np.asarray(out.cost_total),
                                np.asarray(jnp.sum(ref.cost, -1)), rtol=5e-3)
@@ -84,6 +84,16 @@ def test_batch_kl_matches_xla_driver():
     np.testing.assert_array_equal(np.asarray(out.satisfied),
                                   np.asarray(ref.satisfied))
     assert np.all(np.isfinite(np.asarray(out.u)))
+    # trace parity row-for-row: both tiers measure Δcost against the FIXED
+    # pre-rolled cost (the reference never moves x/u/cost inside its loop,
+    # src/iLQGkl.jl:137-140,239-240)
+    k = cfg.max_iter + 1
+    np.testing.assert_allclose(
+        np.asarray(out.trace.reduce_ratio[:, :k]),
+        np.asarray(ref.trace.reduce_ratio[:, :k]), rtol=1e-2, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out.trace.improvement[:, :k]),
+        np.asarray(ref.trace.improvement[:, :k]), rtol=1e-2, atol=1e-4)
 
 
 def test_logdet_tiles_general_m():

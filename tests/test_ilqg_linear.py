@@ -145,7 +145,9 @@ def test_vmap_batched_solver(key):
 def _fixed_lti_spec(dtype, T):
     """Deterministic reference-construction LTI spec (src/demo_linear.jl:
     9-26) generated in NumPy f64 and cast, so every dtype solves the SAME
-    problem (jax.random draws differ between f32 and f64)."""
+    problem (jax.random draws differ between f32 and f64). MUST stay in
+    sync with tools/probe_f32_drift._lti_spec (same rng(7) construction):
+    this test pins the problem whose pre-fix stall BASELINE.md records."""
     import scipy.linalg
     from differentialdynamicprogramming_jl_tpu.models.linear import LTISpec
     n, m, h = 10, 2, 0.01

@@ -21,11 +21,16 @@ Prints ONE JSON line:
   {"metric": ..., "value": ms_per_iter, "unit": "ms", "vs_baseline": 10/value}
 """
 import json
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from timing import fetch_baseline  # noqa: E402  (single timing protocol)
 
 B = 4096
 T = 500
@@ -36,18 +41,6 @@ TARGET_MS = 10.0
 def _fetch(out):
     leaf = jax.tree_util.tree_leaves(out)[0]
     return np.asarray(jax.device_get(jnp.ravel(leaf)[0]))
-
-
-def _fetch_baseline():
-    f = jax.jit(lambda a: a + 1.0)
-    x = jnp.zeros((8, 128), jnp.float32)
-    _fetch(f(x))
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        _fetch(f(x))
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
 
 
 def build():
@@ -95,7 +88,7 @@ def build():
 
 def main():
     step, state = build()
-    base = _fetch_baseline()
+    base = fetch_baseline()
 
     # warmup: compile + a couple of real iterations
     for _ in range(2):

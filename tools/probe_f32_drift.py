@@ -70,7 +70,9 @@ def _lti_spec(dtype):
     jax.random in the requested dtype, and jax.random.normal consumes
     different bits in f32 vs f64 — the legs would solve different
     problems; the first probe run hit exactly that: a 20–43% apparent
-    "drift" that was two different random A/B matrices.)"""
+    "drift" that was two different random A/B matrices.) MUST stay in
+    sync with tests/test_ilqg_linear._fixed_lti_spec, which pins this
+    construction for the tol_fun_effective regression test."""
     import jax.numpy as jnp
     import scipy.linalg
     from differentialdynamicprogramming_jl_tpu.models.linear import LTISpec
