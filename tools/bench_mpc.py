@@ -22,6 +22,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache (keyed by HLO hash): repeat runs and A/B legs
+# skip the multi-minute cold driver compiles (CLAUDE.md TPU gotchas)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache_bench")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
 B, T, INNER = 4096, 300, 5
 N_STEADY = 20
 
