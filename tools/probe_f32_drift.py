@@ -90,6 +90,11 @@ def _lti_spec(dtype):
 
 def run_lanes(out_path, Ts):
     import jax
+    # DRIFT_SMOKE=1: interpret-mode CPU smoke run (tiny T, tiny k_t) to
+    # validate this leg end-to-end before spending TPU time on it
+    smoke = bool(os.environ.get("DRIFT_SMOKE"))
+    if smoke:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from differentialdynamicprogramming_jl_tpu.models.pendcart import (
         PendCartSpec, pendcart_lanes, pendcart_derivs_tiles)
@@ -98,7 +103,12 @@ def run_lanes(out_path, Ts):
     from differentialdynamicprogramming_jl_tpu.solvers.batch import (
         ilqg_batch_lanes)
 
+    kw = (dict(interpret=True, kt_backward=4, kt_forward=4) if smoke
+          else {})
     cfg = _cfg()
+    if smoke:   # wiring check only — tiny iteration budget
+        import dataclasses
+        cfg = dataclasses.replace(cfg, max_iter=3, iter_cap=5)
     spec_pc = PendCartSpec()
     model_pc = pendcart_lanes(spec_pc)
     tiles_pc = pendcart_derivs_tiles(spec_pc)
@@ -115,13 +125,13 @@ def run_lanes(out_path, Ts):
                 res = ilqg_batch_lanes(
                     model_pc, None, jnp.asarray(x0s), jnp.asarray(u0s),
                     lims=((-LIMS_PC, LIMS_PC),), cfg=cfg,
-                    derivs_tiles=tiles_pc)
+                    derivs_tiles=tiles_pc, **kw)
             else:
                 # ±0.6 limits: active boxQP sets are where f32 noise bites
                 res = ilqg_batch_lanes(
                     model_lti, None, jnp.asarray(x0s), jnp.asarray(u0s),
                     lims=((-0.6, 0.6), (-0.6, 0.6)), cfg=cfg,
-                    derivs_tiles=tiles_lti)
+                    derivs_tiles=tiles_lti, **kw)
             cost = np.asarray(res.cost_total, np.float64)
             dt = time.perf_counter() - t0
             out[f"{bench}:{T}"] = {
