@@ -62,18 +62,45 @@ from ..backward import BackwardOut
 
 
 class OutLayout:
-    """Slot offsets of the packed backward outputs (k, K, Vx, Vxx, Quu,
-    Quu⁻¹, row-major flattened)."""
+    """Slot offsets of the packed backward outputs, row-major flattened.
 
-    def __init__(self, n: int, m: int):
-        self.n, self.m = n, m
+    ``emit`` selects which blocks the kernel writes — the backward kernel is
+    bandwidth-bound on this stream at reference problem sizes (n=4, m=1:
+    27 slots × T × B ≈ 221 MB per call at B=4096, T=500), while the solve
+    loops only ever consume a prefix of it:
+
+    - ``"full"``: k, K, Vx, Vxx, Quu, Quu⁻¹ (everything — the result
+      materialization and the batch-major parity wrapper).
+    - ``"gains"``: k, K only — all the iLQG loop's forward passes and the
+      gradient-norm exit need (``solvers/batch.py``); 5 of 27 slots at
+      pendcart size.
+    - ``"policy"``: k, K, Quu, Quu⁻¹ — what the GPS/KL loop's measured-KL
+      step additionally needs (``solvers/batch_kl.py``); skips the n + n²
+      Vx/Vxx slots (110 of 140 at LTI n=10, m=2).
+
+    Absent blocks have offset ``None``. The k/K prefix is layout-identical
+    across modes, so the forward kernel's ``gk``/``gK`` offsets never change.
+    """
+
+    def __init__(self, n: int, m: int, emit: str = "full"):
+        assert emit in ("full", "gains", "policy"), emit
+        self.n, self.m, self.emit = n, m, emit
         self.k = 0
         self.K = m
-        self.Vx = self.K + m * n
-        self.Vxx = self.Vx + n
-        self.quu = self.Vxx + n * n
-        self.quui = self.quu + m * m
-        self.S = self.quui + m * m
+        off = self.K + m * n
+        if emit == "full":
+            self.Vx = off
+            self.Vxx = off + n
+            off += n + n * n
+        else:
+            self.Vx = self.Vxx = None
+        if emit in ("full", "policy"):
+            self.quu = off
+            self.quui = off + m * m
+            off += 2 * m * m
+        else:
+            self.quu = self.quui = None
+        self.S = off
 
 
 class InLayout(DerivLayout):
@@ -296,9 +323,9 @@ def _boxqp_masked(H, g, lo, hi, x0, mm, n_iter):
 def _make_kernel(n: int, m: int, T: int, K_T: int, reg_type: int,
                  lims: Optional[Tuple[Tuple[float, float], ...]],
                  derivs_tiles=None, gps: bool = False, n_params: int = 0,
-                 qp_iters: int = 8):
+                 qp_iters: int = 8, emit: str = "full"):
     lay = InLayout(n, m)
-    out = OutLayout(n, m)
+    out = OutLayout(n, m, emit)
     use_limits = lims is not None
     warm = use_limits and m > 2     # carried k warm start for the boxQP
     T_pad = -(-T // K_T) * K_T
@@ -375,26 +402,30 @@ def _make_kernel(n: int, m: int, T: int, K_T: int, reg_type: int,
             for i in range(n):
                 cxi = d["cx"][i]
                 scr[SVX + i] = cxi
-                o_ref[kk, out.Vx + i, 0] = cxi
+                if out.Vx is not None:
+                    o_ref[kk, out.Vx + i, 0] = cxi
             for i in range(n):
                 for j in range(n):
                     v = d["cxx"][i][j]
                     scr[SVXX + i * n + j] = v
-                    o_ref[kk, out.Vxx + i * n + j, 0] = v
+                    if out.Vxx is not None:
+                        o_ref[kk, out.Vxx + i * n + j, 0] = v
             for mi in range(m):
                 o_ref[kk, out.k + mi, 0] = zero
                 for j in range(n):
                     o_ref[kk, out.K + mi * n + j, 0] = zero
-            if gps:
-                cuu = [[d["cuu"][mi][mj] / kl["eta"] + kl["cuu"][mi][mj]
-                        for mj in range(m)] for mi in range(m)]
-            else:
-                cuu = d["cuu"]
-            cuu_inv, _ok = _tiny_inv(cuu, m)
-            for mi in range(m):
-                for mj in range(m):
-                    o_ref[kk, out.quu + mi * m + mj, 0] = cuu[mi][mj]
-                    o_ref[kk, out.quui + mi * m + mj, 0] = cuu_inv[mi][mj]
+            if out.quu is not None:
+                if gps:
+                    cuu = [[d["cuu"][mi][mj] / kl["eta"] + kl["cuu"][mi][mj]
+                            for mj in range(m)] for mi in range(m)]
+                else:
+                    cuu = d["cuu"]
+                cuu_inv, _ok = _tiny_inv(cuu, m)
+                for mi in range(m):
+                    for mj in range(m):
+                        o_ref[kk, out.quu + mi * m + mj, 0] = cuu[mi][mj]
+                        o_ref[kk, out.quui + mi * m + mj, 0] = \
+                            cuu_inv[mi][mj]
             scr[SDV1] = zero
             scr[SDV2] = zero
             scr[SDIV] = zero
@@ -567,7 +598,8 @@ def _make_kernel(n: int, m: int, T: int, K_T: int, reg_type: int,
         Vxx_n = [[0.5 * (Vxx_raw[i][j] + Vxx_raw[j][i])
                   for j in range(n)] for i in range(n)]
 
-        Quu_inv, _okinv = _tiny_inv(Quu, m)
+        if out.quu is not None:
+            Quu_inv, _okinv = _tiny_inv(Quu, m)
 
         # ---- divergence latch (reference: diverge = first bad t, 1-based;
         #      src/backward_pass.jl:36-38)
@@ -595,15 +627,18 @@ def _make_kernel(n: int, m: int, T: int, K_T: int, reg_type: int,
             for j in range(n):
                 o_ref[kk, out.K + mi * n + j, 0] = K_t[mi][j]
         for i in range(n):
-            o_ref[kk, out.Vx + i, 0] = Vx_n[i]
+            if out.Vx is not None:
+                o_ref[kk, out.Vx + i, 0] = Vx_n[i]
             scr[SVX + i] = Vx_n[i]
             for j in range(n):
-                o_ref[kk, out.Vxx + i * n + j, 0] = Vxx_n[i][j]
+                if out.Vxx is not None:
+                    o_ref[kk, out.Vxx + i * n + j, 0] = Vxx_n[i][j]
                 scr[SVXX + i * n + j] = Vxx_n[i][j]
-        for mi in range(m):
-            for mj in range(m):
-                o_ref[kk, out.quu + mi * m + mj, 0] = Quu[mi][mj]
-                o_ref[kk, out.quui + mi * m + mj, 0] = Quu_inv[mi][mj]
+        if out.quu is not None:
+            for mi in range(m):
+                for mj in range(m):
+                    o_ref[kk, out.quu + mi * m + mj, 0] = Quu[mi][mj]
+                    o_ref[kk, out.quui + mi * m + mj, 0] = Quu_inv[mi][mj]
         scr[SDV1] = dv1
         scr[SDV2] = dv2
         scr[SDIV] = div
@@ -680,7 +715,7 @@ def pack_backward_inputs(derivs: Derivs, u: jax.Array, B: int) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=("n", "m", "reg_type", "lims", "k_t", "derivs_tiles",
-                     "qp_iters", "interpret"))
+                     "qp_iters", "emit", "interpret"))
 def backward_lanes(dp: jax.Array, lam: jax.Array,
                    *, n: int, m: int, reg_type: int = 1,
                    lims: Optional[Tuple[Tuple[float, float], ...]] = None,
@@ -690,6 +725,7 @@ def backward_lanes(dp: jax.Array, lam: jax.Array,
                    eta: Optional[jax.Array] = None,
                    params: Optional[jax.Array] = None,
                    qp_iters: int = 8,
+                   emit: str = "full",
                    interpret: bool = False) -> BackwardLanesOut:
     """Run the backward kernel on a lane-layout input stream.
 
@@ -703,7 +739,10 @@ def backward_lanes(dp: jax.Array, lam: jax.Array,
       (n, m)). This cuts the input HBM traffic ~9×.
 
     ``lam``: per-scenario λ (nB, 8, 128). ``lims``: static ((lo, hi),)*m or
-    None. ``k_t``: timesteps per grid step.
+    None. ``k_t``: timesteps per grid step. ``emit``: output-stream slot
+    selection (see :class:`OutLayout`) — the kernel is bandwidth-bound on
+    this stream, so hot loops should request only what they consume
+    (``"gains"`` for the iLQG loop, ``"policy"`` for the GPS/KL loop).
 
     GPS mode (reference ``back_pass_gps``, ``src/backward_pass.jl:259-350``)
     activates when ``prev``/``eta`` are given: ``prev`` is the
@@ -725,12 +764,12 @@ def backward_lanes(dp: jax.Array, lam: jax.Array,
         in_slots = n + m
     assert T >= 2
     n_params = 0 if params is None else params.shape[0]
-    S_out = OutLayout(n, m).S
+    S_out = OutLayout(n, m, emit).S
     slots = in_slots + S_out + ((m + m * n + m * m + 1) if gps else 0)
     k_t = clamp_k_t(k_t, T, slots)
     kernel, n_scratch, Tb, pad = _make_kernel(n, m, T, k_t, reg_type, lims,
                                               derivs_tiles, gps, n_params,
-                                              qp_iters)
+                                              qp_iters, emit)
     if pad:
         zfront = lambda a: jnp.concatenate(
             [jnp.zeros((pad,) + a.shape[1:], a.dtype), a], axis=0)
@@ -744,7 +783,7 @@ def backward_lanes(dp: jax.Array, lam: jax.Array,
 
     tile = (SUBLANES, LANES)
     f32 = jnp.float32
-    S = OutLayout(n, m).S
+    S = S_out
 
     def rev(bt, g):
         return (Tb - 1 - g, 0, bt, 0, 0)

@@ -84,7 +84,11 @@ class _Carry(NamedTuple):
     cost_tot: jax.Array   # (nB, 8, 128) incl. terminal
     lam: jax.Array        # (nB, 8, 128)
     dlam: jax.Array
-    bo: jax.Array         # (T, S, nB, 8, 128) backward out stream
+    traj_bwd: jax.Array   # trajectory the LAST executed backward pass saw
+    #                       (= traj at iteration entry; done lanes frozen)
+    lam_used: jax.Array   # post-retry λ that backward ran with — together
+    #                       with traj_bwd this replays the final backward
+    #                       outputs once after the loop (see below)
     done: jax.Array       # bool lanes
     reason: jax.Array     # int32 lanes
     accepted: jax.Array   # int32 lanes
@@ -237,6 +241,14 @@ def _ilqg_batch_lanes_jit(model: LanesModel,
     A = alphas.shape[0]
     al_all = jnp.broadcast_to(alphas.reshape(A, 1, 1, 1), (A,) + L)
     g_sl = lay.K + m * n          # gains window of the backward out stream
+    # The loop only consumes the k/K gain slots of the backward output (the
+    # forward passes + the gradient-norm exit) and the reduced stats; the
+    # full stream (Vx, Vxx, Σ) is ~5× larger and the kernel is
+    # bandwidth-bound on writing it. So the hot loop runs the kernel in
+    # "gains" emission and the full stream is replayed ONCE after the loop
+    # from (traj_bwd, lam_used) — the exact inputs each lane's last backward
+    # ran with, making the replay bit-identical to what the old carried
+    # stream held.
 
     Bp = padded_batch(B)
     if params is not None:
@@ -262,11 +274,11 @@ def _ilqg_batch_lanes_jit(model: LanesModel,
                              emit_traj=emit, k_t=kt_forward,
                              interpret=interpret)
 
-    def run_bwd(traj_or_dp, lam):
+    def run_bwd(traj_or_dp, lam, emit="gains"):
         return backward_lanes(traj_or_dp, lam, n=n, m=m,
                               reg_type=cfg.reg_type, lims=lims,
                               k_t=kt_backward, derivs_tiles=derivs_tiles,
-                              params=par_l, interpret=interpret)
+                              params=par_l, emit=emit, interpret=interpret)
 
     if pre_rolled:
         # trust the supplied trajectory verbatim (src/iLQG.jl:193-197) —
@@ -340,7 +352,7 @@ def _ilqg_batch_lanes_jit(model: LanesModel,
     carry0 = _Carry(
         traj=traj_init, bwd_in=bwd_in0, cost_tot=tot_init,
         lam=lam_init, dlam=dlam_init,
-        bo=jnp.zeros((T, lay.S) + L, f32),
+        traj_bwd=traj_init, lam_used=lam_init,
         done=(~any0) | (~lane_valid),
         reason=jnp.where(any0, 0, 5).astype(jnp.int32),
         accepted=acc_init,
@@ -450,12 +462,6 @@ def _ilqg_batch_lanes_jit(model: LanesModel,
         else:
             traj_n = fb.traj
             tot_n = fb.totals[0]
-        # no masked select on the (T, S, lanes) backward stream: done lanes'
-        # trajectory, λ and (cached) derivative inputs are all frozen, so
-        # the kernel recomputes bit-identical outputs for them every
-        # iteration — carrying `bo` directly saves ~1 GB of HBM select
-        # traffic per iteration at B=4096, T=500
-        bo_n = bo
 
         accepted = c.accepted + accept.astype(jnp.int32)
         done = c.done | newly_done | (accepted > cfg.max_iter)
@@ -503,11 +509,16 @@ def _ilqg_batch_lanes_jit(model: LanesModel,
         else:
             bwd_in_n = None
 
+        # for done lanes the retry loop never touched their λ, so `lam`
+        # equals c.lam there — traj_bwd/lam_used carried unconditionally
+        # are exactly the inputs of the backward pass that just ran (the
+        # kernel computes every lane each iteration, done or not)
         return _Carry(
             traj=traj_n, bwd_in=bwd_in_n, cost_tot=tot_n,
             lam=jnp.where(active, lam_n, c.lam),
             dlam=jnp.where(active, dlam_n, c.dlam),
-            bo=bo_n, done=done, reason=reason,
+            traj_bwd=c.traj, lam_used=lam,
+            done=done, reason=reason,
             accepted=accepted, it=c.it + 1,
             it_lane=jnp.where(active, c.it, c.it_lane),
             g_norm=jnp.where(active, g_norm, c.g_norm), trace=trace)
@@ -515,6 +526,19 @@ def _ilqg_batch_lanes_jit(model: LanesModel,
     c = lax.while_loop(loop_cond, loop_body, carry0)
     reason = jnp.where((c.reason == 0) & (c.accepted > cfg.max_iter),
                        4, c.reason).astype(jnp.int32)
+
+    # ---- replay the final backward outputs in FULL emission, once.
+    # (traj_bwd, lam_used) are exactly the inputs of the last backward pass
+    # the kernel ran per lane (see the carry comment), so this reproduces
+    # the k/K/Vx/Vxx/Σ stream the loop used to carry — at the cost of one
+    # kernel launch per solve instead of a 5× larger write stream per
+    # iteration. (With max_steps=0 / an all-diverged-at-init fleet the loop
+    # never ran; the replay then evaluates the initial state, and reason-5
+    # lanes are sanitized below either way.)
+    bwd_in_fin = (c.traj_bwd if derivs_tiles is not None
+                  else packed_derivs(c.traj_bwd[:, :n],
+                                     c.traj_bwd[:, n:n + m]))
+    bo_full = run_bwd(bwd_in_fin, c.lam_used, emit="full").out
 
     # Lanes that diverged at init (reason 5) are done before the first
     # iteration, but their (possibly non-finite) trajectory still feeds
@@ -527,12 +551,12 @@ def _ilqg_batch_lanes_jit(model: LanesModel,
     # (policy.py:47-55) — mirror that here so a downstream GPS/KL
     # consumer never sees a singular Σ on a failed lane.
     bad5 = ~any0
-    eye_slots = jnp.zeros((c.bo.shape[1],), c.bo.dtype)
+    eye_slots = jnp.zeros((bo_full.shape[1],), bo_full.dtype)
     for base in (lay.quui, lay.quu):          # σ and σ⁻¹ slot blocks
         for i in range(m):
             eye_slots = eye_slots.at[base + i * m + i].set(1.0)
-    bo5 = eye_slots.reshape((1, -1) + (1,) * (c.bo.ndim - 2))
-    c = c._replace(bo=jnp.where(_bc(bad5, c.bo), bo5, c.bo))
+    bo5 = eye_slots.reshape((1, -1) + (1,) * (bo_full.ndim - 2))
+    bo_full = jnp.where(_bc(bad5, bo_full), bo5, bo_full)
     if not pre_rolled:
         # rollout entry: also restore the frozen initial rollout (a
         # pre-rolled lane instead keeps the user-supplied trajectory
@@ -545,15 +569,15 @@ def _ilqg_batch_lanes_jit(model: LanesModel,
     x = from_lanes(c.traj[:, :n], B, (n,))
     u = from_lanes(c.traj[:, n:n + m], B, (m,))
     cost = from_lanes(c.traj[:, n + m:n + m + 1], B, ())
-    K = from_lanes(c.bo[:, lay.K:lay.K + m * n], B, (m, n))
-    sigma = from_lanes(c.bo[:, lay.quui:lay.quui + m * m], B, (m, m))
-    sigma_inv = from_lanes(c.bo[:, lay.quu:lay.quu + m * m], B, (m, m))
+    K = from_lanes(bo_full[:, lay.K:lay.K + m * n], B, (m, n))
+    sigma = from_lanes(bo_full[:, lay.quui:lay.quui + m * m], B, (m, m))
+    sigma_inv = from_lanes(bo_full[:, lay.quu:lay.quu + m * m], B, (m, m))
     policy = GaussianPolicy(K=K, k=u, sigma=sigma, sigma_inv=sigma_inv)
 
     return BatchILQGResult(
         x=x, u=u, policy=policy,
-        Vx=from_lanes(c.bo[:, lay.Vx:lay.Vx + n], B, (n,)),
-        Vxx=from_lanes(c.bo[:, lay.Vxx:lay.Vxx + n * n], B, (n, n)),
+        Vx=from_lanes(bo_full[:, lay.Vx:lay.Vx + n], B, (n,)),
+        Vxx=from_lanes(bo_full[:, lay.Vxx:lay.Vxx + n * n], B, (n, n)),
         cost=cost,
         cost_total=vec_from_lanes(c.cost_tot, B),
         n_iters=vec_from_lanes(c.it_lane, B),
@@ -590,9 +614,13 @@ def ilqg_iteration_lanes(model: LanesModel,
         x0_l = traj[0, :n]
         bwd_in = traj if derivs_tiles is not None else packed_derivs(
             traj[:, :n], traj[:, n:n + m])
+        # gains-only emission: this step's consumers (the two forward
+        # passes) never read Vx/Vxx/Σ, and the kernel is bandwidth-bound
+        # on the output stream (see OutLayout)
         res = backward_lanes(bwd_in, lam, n=n, m=m, reg_type=cfg.reg_type,
                              lims=lims, k_t=kt_backward,
-                             derivs_tiles=derivs_tiles, interpret=interpret)
+                             derivs_tiles=derivs_tiles, emit="gains",
+                             interpret=interpret)
         bo = res.out
         dV1, dV2 = res.stats[0], res.stats[1]
         bad = res.stats[2] > 0.5

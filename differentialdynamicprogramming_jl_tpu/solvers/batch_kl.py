@@ -195,7 +195,11 @@ def ilqgkl_batch_lanes(model: LanesModel,
     n, m = model.n, model.m
     B, T = x0s.shape[0], x0s.shape[1]
     f32 = jnp.float32
-    lay = OutLayout(n, m)
+    # "policy" emission: this loop consumes k/K (forward pass) and
+    # Quu/Quu⁻¹ (measured KL + returned policy) but never Vx/Vxx — skipping
+    # their n + n² slots cuts the bandwidth-bound backward output stream
+    # ~4.7× at LTI size (n=10, m=2), on every η-retry relaunch too.
+    lay = OutLayout(n, m, emit="policy")
     if r1 is None:
         r1 = tuple(tuple(1.0 if i == j else 0.0 for j in range(n))
                    for i in range(n))
@@ -241,7 +245,8 @@ def ilqgkl_batch_lanes(model: LanesModel,
         return backward_lanes(traj, jnp.zeros(L, f32), n=n, m=m,
                               reg_type=1, lims=lims, k_t=kt,
                               derivs_tiles=derivs_tiles,
-                              prev=prev, eta=eta_s, interpret=interpret)
+                              prev=prev, eta=eta_s, emit="policy",
+                              interpret=interpret)
 
     cap = cfg.max_iter + 1
     if record_trace:

@@ -10,6 +10,9 @@ import time
 
 root = sys.argv[1]
 label = sys.argv[2] if len(sys.argv) > 2 else root
+# optional 3rd arg: output emission mode ("full" | "gains" | "policy") —
+# A/B of the bandwidth-bound output stream on one tree (OutLayout docs)
+emit = sys.argv[3] if len(sys.argv) > 3 else "full"
 sys.path.insert(0, root)
 
 import jax
@@ -57,9 +60,13 @@ def main():
     traj = fb.traj
     lam = jnp.ones(L, dtype)
 
+    kw = {}
+    if emit != "full":          # keep the call compatible with old trees
+        kw["emit"] = emit
+
     def one(tr, lm):
         return backward_lanes(tr, lm, n=4, m=1, reg_type=2, lims=lims,
-                              k_t=25, derivs_tiles=tiles)
+                              k_t=25, derivs_tiles=tiles, **kw)
 
     @jax.jit
     def chain(tr, lm):
@@ -84,7 +91,7 @@ def main():
         fetch(chain(traj, lam))
         best = min(best, (time.perf_counter() - t0 - base) / N_CHAIN)
     print(f"AB {label}: backward kernel {best*1e3:.4f} ms "
-          f"(B={B}, T={T}, k_t=25)")
+          f"(B={B}, T={T}, k_t=25, emit={emit})")
 
 
 def _t(f):
