@@ -303,3 +303,36 @@ def test_backward_kernel_full_ddp_parity(pend):
     err_fo = float(np.max(np.abs(np.asarray(k1) - np.asarray(ref.policy.k))))
     err_so = float(np.max(np.abs(np.asarray(k) - np.asarray(ref.policy.k))))
     assert err_fo > 5.0 * max(err_so, 1e-7), (err_fo, err_so)
+
+
+def test_backward_kernel_emission_modes(pend):
+    """The "gains"/"policy" emission streams must equal the corresponding
+    slot prefix of the "full" stream bit-for-bit — the hot-loop drivers
+    (solvers/batch.py, solvers/batch_kl.py) rely on the emission gating
+    changing WHICH slots are written, never the arithmetic that produces
+    them (OutLayout docs)."""
+    from differentialdynamicprogramming_jl_tpu.ops.pallas.backward_kernel \
+        import OutLayout
+    _, _, _, _, ro, d = pend
+    lam_l = vec_to_lanes(jnp.ones((B,), DTYPE))
+    dp = pack_backward_inputs(d, ro.u, B)
+    n, m = 4, 1
+    full = backward_lanes(dp, lam_l, n=n, m=m, reg_type=2, lims=LIMS,
+                          k_t=4, interpret=True)
+    lay_f = OutLayout(n, m, "full")
+    for emit in ("gains", "policy"):
+        out = backward_lanes(dp, lam_l, n=n, m=m, reg_type=2, lims=LIMS,
+                             k_t=4, emit=emit, interpret=True)
+        lay = OutLayout(n, m, emit)
+        assert out.out.shape[1] == lay.S
+        np.testing.assert_array_equal(
+            np.asarray(out.out[:, :m + m * n]),
+            np.asarray(full.out[:, :m + m * n]), err_msg=f"{emit} gains")
+        if lay.quu is not None:
+            np.testing.assert_array_equal(
+                np.asarray(out.out[:, lay.quu:lay.quui + m * m]),
+                np.asarray(full.out[:, lay_f.quu:lay_f.quui + m * m]),
+                err_msg="policy quu/quui")
+        np.testing.assert_array_equal(np.asarray(out.stats),
+                                      np.asarray(full.stats),
+                                      err_msg=f"{emit} stats")

@@ -13,6 +13,9 @@ label = sys.argv[2] if len(sys.argv) > 2 else root
 # optional 3rd arg: output emission mode ("full" | "gains" | "policy") —
 # A/B of the bandwidth-bound output stream on one tree (OutLayout docs)
 emit = sys.argv[3] if len(sys.argv) > 3 else "full"
+# optional 4th arg: k_t (timesteps per grid step; gains emission shrinks
+# the VMEM output block ~5×, so larger blocks fit)
+KT = int(sys.argv[4]) if len(sys.argv) > 4 else 25
 sys.path.insert(0, root)
 
 import jax
@@ -66,7 +69,7 @@ def main():
 
     def one(tr, lm):
         return backward_lanes(tr, lm, n=4, m=1, reg_type=2, lims=lims,
-                              k_t=25, derivs_tiles=tiles, **kw)
+                              k_t=KT, derivs_tiles=tiles, **kw)
 
     @jax.jit
     def chain(tr, lm):
@@ -91,7 +94,7 @@ def main():
         fetch(chain(traj, lam))
         best = min(best, (time.perf_counter() - t0 - base) / N_CHAIN)
     print(f"AB {label}: backward kernel {best*1e3:.4f} ms "
-          f"(B={B}, T={T}, k_t=25, emit={emit})")
+          f"(B={B}, T={T}, k_t={KT}, emit={emit})")
 
 
 def _t(f):
