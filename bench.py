@@ -72,7 +72,25 @@ def build():
     return solve, x0s, u0s
 
 
+def _probe_devices(timeout_s: float = 240.0) -> bool:
+    """The axon relay can be down for hours (jax.devices() then hangs
+    forever, CLAUDE.md). Probe it in a killable subprocess so the bench
+    fails FAST and loud instead of hanging the caller."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices())"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _probe_devices():
+        print("bench.py: accelerator unreachable (device probe timed out "
+              "— axon relay down?); no measurement taken", file=sys.stderr)
+        sys.exit(1)
     solve, x0s, u0s = build()
     base = fetch_baseline()
 
