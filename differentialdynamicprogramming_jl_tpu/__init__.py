@@ -33,6 +33,8 @@ from .solvers.batch import (ilqg_batch_lanes, ilqg_iteration_lanes,
 from .solvers.batch_kl import (ilqgkl_batch_lanes, BatchKLResult,
                                BatchKLTrace)
 from .solvers.fleet import ilqg_fleet
+from .ops.pallas.autodiff_tiles import (autodiff_derivs_tiles,
+                                        autodiff_packed_derivs)
 
 __version__ = "0.1.0"
 
@@ -50,4 +52,5 @@ __all__ = [
     "ilqg_batch_lanes", "ilqg_iteration_lanes", "BatchILQGResult",
     "BatchTrace", "ilqgkl_batch_lanes", "BatchKLResult", "BatchKLTrace",
     "ilqg_fleet",
+    "autodiff_derivs_tiles", "autodiff_packed_derivs",
 ]
