@@ -11,7 +11,8 @@ reference Julia package ``baggepinnen/DifferentialDynamicProgramming.jl``
 - :func:`boxqp` — projected-Newton box QP (reference ``boxQP``,
   ``src/boxQP.jl:29``)
 - :class:`GaussianPolicy` — time-varying affine-Gaussian controller
-- model families: linear LTI, pendulum-on-cart
+- model families: linear LTI, pendulum-on-cart, planar quadrotor (the
+  autodiff-tiles showcase, :mod:`.models.quadrotor`)
 - batched + multi-host execution: :mod:`.parallel`
 
 Everything is jittable, vmappable over scenario batches, and shardable over

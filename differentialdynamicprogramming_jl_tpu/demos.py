@@ -262,6 +262,51 @@ def demo_fleet(B: int = None, T: int = 500, dtype=jnp.float32,
     return res
 
 
+def demo_quadrotor(B: int = None, T: int = 400, dtype=jnp.float32,
+                   max_iter: int = 30, interpret: bool = None):
+    """Planar-quadrotor fleet: displaced/tilted starts → hover at the goal
+    under per-rotor thrust limits (0, u_max) — the m=2 in-kernel box-QP
+    enumeration path, with the backward kernel's derivative tiles derived
+    ENTIRELY by autodiff (``autodiff_derivs_tiles``): no hand-written
+    Jacobians anywhere in this model (``models/quadrotor.py``)."""
+    from .models.quadrotor import (QuadrotorSpec, quadrotor_lanes,
+                                   default_x0 as quad_x0)
+    from .ops.pallas.autodiff_tiles import autodiff_derivs_tiles
+    from .solvers.batch import ilqg_batch_lanes
+    on_tpu = jax.default_backend() == "tpu"
+    if interpret is None:
+        interpret = not on_tpu     # lane kernels are TPU-only otherwise
+    if B is None:
+        B = 4096 if on_tpu else 8
+    if interpret:
+        T = min(T, 12)             # interpret-mode compile cost (CLAUDE.md)
+        max_iter = min(max_iter, 3)
+    spec = QuadrotorSpec()
+    model = quadrotor_lanes(spec)
+    tiles = autodiff_derivs_tiles(model)
+    cfg = ILQGConfig(alphas=default_alphas(0.2, -3.0, 6), reg_type=2,
+                     lam_max=1e15, max_iter=max_iter, iter_cap=max_iter + 8)
+    key = jax.random.PRNGKey(0)
+    x0s = (quad_x0(dtype)[None, :]
+           + 0.3 * jax.random.normal(key, (B, 6), dtype)
+           * jnp.array([1, 0, 1, 0, 0.5, 0], dtype))
+    u0s = jnp.full((B, T, 2), spec.u_hover, dtype)
+    print(f"Quadrotor fleet: {B} scenarios, T={T}, thrust limits "
+          f"(0, {spec.u_max}), autodiff derivative tiles "
+          f"[{'compiled' if not interpret else 'interpret'} lane path]")
+    t0 = time.perf_counter()
+    kt = dict(kt_backward=3, kt_forward=3) if interpret else {}
+    res = ilqg_batch_lanes(model, None, x0s, u0s, lims=spec.lims, cfg=cfg,
+                           derivs_tiles=tiles, interpret=interpret, **kt)
+    mean_cost = float(jnp.mean(res.cost_total))   # host fetch = completion
+    dt = time.perf_counter() - t0
+    print(f"  {B} solves in {dt*1e3:.0f} ms (incl. compile) — mean cost "
+          f"{mean_cost:.2f}, mean iterations "
+          f"{float(jnp.mean(res.n_iters)):.1f}, "
+          f"mean final height {float(jnp.mean(res.x[:, -1, 2])):.2f} m")
+    return res
+
+
 def demo_boxqp(n: int = 500, seed: int = 0):
     """Standalone box-QP demo (reference ``demoQP``, ``src/boxQP.jl:190-199``)."""
     t0 = time.perf_counter()
@@ -289,3 +334,4 @@ if __name__ == "__main__":
     demo_linear_kl()
     demo_pendcart()
     demo_fleet()
+    demo_quadrotor()
