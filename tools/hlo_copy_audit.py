@@ -1,0 +1,85 @@
+"""Audit XLA while-loop copy insertion in the compiled lane driver (CPU).
+
+XLA while loops pin each carry element to a fixed buffer; a value that
+moves between carry positions (rotation, e.g. ``traj_bwd = c.traj``) or a
+kernel output landing in a carry position gets a materializing ``copy``.
+These copies are invisible in the Python code and missing from naive
+traffic arithmetic — this harness lowers the driver at toy shapes on CPU
+and attributes every big copy op to its HLO computation, so driver-level
+per-iteration copy traffic can be compared across worktrees (see
+BASELINE.md "While-loop copy audit").
+
+Caveat: CPU interpret-mode Pallas inlines each kernel as its own XLA loop
+region, inflating the total count — only copies in the MAIN driver loop
+body (the region containing the trajectory-shaped carries) are meaningful
+for the TPU pipeline; kernel-internal regions do not exist there.
+
+Usage: python tools/hlo_copy_audit.py <repo_root> [<repo_root2> ...]
+"""
+import math
+import subprocess
+import sys
+
+
+def audit(root: str) -> None:
+    sys.path.insert(0, root)
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from differentialdynamicprogramming_jl_tpu.models.pendcart import (
+        PendCartSpec, default_x0, pendcart_lanes, pendcart_derivs_tiles)
+    from differentialdynamicprogramming_jl_tpu.solvers.batch import (
+        _ilqg_batch_lanes_jit)
+    from differentialdynamicprogramming_jl_tpu.solvers.ilqg import (
+        ILQGConfig, default_alphas)
+
+    spec = PendCartSpec()
+    model = pendcart_lanes(spec)
+    tiles = pendcart_derivs_tiles(spec)
+    cfg = ILQGConfig(alphas=default_alphas(0.2, -3.0, 3), reg_type=2,
+                     lam_max=1e15, max_iter=2, iter_cap=3)
+    B, T = 8, 6
+    x0s = default_x0(jnp.float32)[None, :].repeat(B, 0)
+    u0s = jnp.zeros((B, T, 1), jnp.float32)
+    lo = _ilqg_batch_lanes_jit.lower(
+        model, None, x0s, u0s, lims=((-5.0, 5.0),), cfg=cfg,
+        derivs_tiles=tiles, params=None, cost0=None, warm_start=False,
+        lam0=None, dlam0=None, accepted0=None,
+        max_steps=jnp.asarray(2, jnp.int32),
+        kt_backward=2, kt_forward=2, record_trace=False, interpret=True)
+    txt = lo.compile().as_text()
+
+    cur = None
+    rows = []
+    for line in txt.splitlines():
+        s = line.strip()
+        if s.startswith("%") and s.endswith("{") and " = " not in s:
+            cur = s.split(" ")[0]
+        if s.startswith("ENTRY"):
+            cur = "ENTRY"
+        if " copy(" in s and "f32[" in s:
+            shape = s.split("f32[")[1].split("]")[0]
+            dims = [int(d) for d in shape.split(",") if d]
+            nbytes = math.prod(dims) * 4
+            if nbytes >= 100_000:          # big buffers only
+                rows.append((cur, shape, nbytes, s[:110]))
+
+    in_body = [r for r in rows if r[0] != "ENTRY"]
+    print(f"{root}:")
+    print(f"  big (>=100 kB) copies: {len(rows)} total, "
+          f"{len(in_body)} inside loop bodies")
+    for region, shape, nbytes, s in rows:
+        print(f"  {region} :: f32[{shape}] ({nbytes} B) :: {s}")
+
+
+if __name__ == "__main__":
+    roots = sys.argv[1:] or ["."]
+    # one subprocess per root: each needs a clean import of the package
+    if len(roots) > 1:
+        for r in roots:
+            subprocess.run([sys.executable, __file__, r], check=False)
+    else:
+        audit(roots[0])
