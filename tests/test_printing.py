@@ -35,6 +35,25 @@ def test_ilqg_iteration_table_and_exit(capfd):
     assert "final cost" in out
 
 
+def test_iteration_cap_exit_message(capfd):
+    """reason 0 (while_loop trip cap hit before max_iter accepted
+    iterations) must print an explicit exit line — the reference always
+    prints one of its exit messages; silence here was ADVICE r2 #4."""
+    spec = random_lti(jax.random.PRNGKey(1), n=4, m=2, T=40,
+                      dtype=jnp.float64)
+    prob = make_lti_problem(spec, 40)
+    res = ilqg(prob, spec.x0, spec.u0,
+               cfg=ILQGConfig(verbosity=1, max_iter=50, iter_cap=3,
+                              tol_fun=0.0, tol_grad=0.0))
+    jax.block_until_ready(res.u)
+    _drain()
+    out = capfd.readouterr().out
+    if int(res.reason) == 0:
+        assert "iteration cap reached" in out
+    else:  # problem converged inside 3 trips — still must print an exit
+        assert ("SUCCESS" in out) or ("EXIT" in out)
+
+
 def test_boxqp_verbose_prints(capfd):
     A = jax.random.normal(jax.random.PRNGKey(3), (4, 4), jnp.float64)
     H = A @ A.T + 0.5 * jnp.eye(4)
