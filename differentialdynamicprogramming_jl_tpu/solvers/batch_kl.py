@@ -147,7 +147,16 @@ class _Carry(NamedTuple):
     delta: jax.Array         # η-escalation increment
     traj_new: jax.Array      # (T, n+m+1, L)
     tot_new: jax.Array
-    bo: jax.Array
+    eta_used: jax.Array      # η the LAST executed backward ran with (the
+    #                          post-retry bracket midpoint): (T,)+L per-step
+    #                          or L scalar-mode. The policy stream is NOT
+    #                          carried — an inner while-loop's output landing
+    #                          in an outer carry position costs a full-stream
+    #                          copy every iteration (~492 MB/iter at the GPS
+    #                          fleet scale; BASELINE.md "while-loop copy
+    #                          audit"), so the final stream is replayed ONCE
+    #                          after the loop from this η instead —
+    #                          bit-identical inputs, bit-identical stream.
     div: jax.Array           # (L,) mean KL
     satisfied: jax.Array
     pd_bad: jax.Array        # (L,) PD failure latched (see BatchKLResult)
@@ -259,7 +268,7 @@ def ilqgkl_batch_lanes(model: LanesModel,
     carry0 = _Carry(
         bracket=br0, delta=delta0,
         traj_new=traj, tot_new=tot0,
-        bo=jnp.zeros((T, lay.S) + L, f32),
+        eta_used=br0[1],
         div=jnp.zeros(L, f32),
         satisfied=jnp.zeros(L, bool),
         pd_bad=jnp.zeros(L, bool),
@@ -361,13 +370,12 @@ def ilqgkl_batch_lanes(model: LanesModel,
         upd = active
         bc = lambda msk, a: msk.reshape((1,) * (a.ndim - msk.ndim)
                                         + msk.shape)
-        # no masked selects on the trajectory/backward streams: the nominal
+        # no masked selects on the trajectory stream: the nominal
         # trajectory and done lanes' η bracket are frozen, so the kernels
         # recompute bit-identical fb.traj/bo for them every iteration
         # (same HBM-traffic argument as solvers/batch.py)
         traj_new = fb.traj
         tot_new = fb.totals[0]
-        bo_n = bo
         br_mask = bc(upd, br_n)
 
         eta_mid = jnp.mean(br_n[1], axis=0) if per_step else br_n[1]
@@ -398,7 +406,11 @@ def ilqgkl_batch_lanes(model: LanesModel,
         return _Carry(
             bracket=jnp.where(br_mask, br_n, c.bracket),
             delta=jnp.where(bc(upd, delta), delta, c.delta),
-            traj_new=traj_new, tot_new=tot_new, bo=bo_n,
+            traj_new=traj_new, tot_new=tot_new,
+            # post-retry midpoint: for done lanes the retry never touched
+            # their η (masked by `active`), so this equals their frozen
+            # c.bracket[1] — exactly the η every lane's backward just used
+            eta_used=br[1],
             div=jnp.where(upd, div, c.div),
             satisfied=jnp.where(upd, satisfied, c.satisfied),
             pd_bad=c.pd_bad | pd_bad_now,
@@ -415,11 +427,15 @@ def ilqgkl_batch_lanes(model: LanesModel,
     x = from_lanes(c.traj_new[:, :n], B, (n,))
     u = from_lanes(c.traj_new[:, n:n + m], B, (m,))
     cost = from_lanes(c.traj_new[:, n + m:n + m + 1], B, ())
+    # replay the final backward once from the carried η — bit-identical to
+    # the stream the loop's last kernel call produced (emission-mode
+    # pattern, solvers/batch.py; one extra launch per solve)
+    bo_fin = run_bwd(c.eta_used).out
     policy = GaussianPolicy(
-        K=from_lanes(c.bo[:, lay.K:lay.K + m * n], B, (m, n)),
+        K=from_lanes(bo_fin[:, lay.K:lay.K + m * n], B, (m, n)),
         k=u,
-        sigma=from_lanes(c.bo[:, lay.quui:lay.quui + m * m], B, (m, m)),
-        sigma_inv=from_lanes(c.bo[:, lay.quu:lay.quu + m * m], B, (m, m)))
+        sigma=from_lanes(bo_fin[:, lay.quui:lay.quui + m * m], B, (m, m)),
+        sigma_inv=from_lanes(bo_fin[:, lay.quu:lay.quu + m * m], B, (m, m)))
     div = vec_from_lanes(c.div, B)
     kl_violated = (div > float(cfg.kl_step)) & (
         jnp.abs(div - float(cfg.kl_step)) > 0.1 * float(cfg.kl_step))
