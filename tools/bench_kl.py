@@ -1,0 +1,110 @@
+"""GPS/KL lane-tier fleet bench (TPU): pendcart trust-region solves.
+
+Round 2 recorded "41.7 ms per 10-iteration KL-constrained 4096-fleet
+solve" from an ad-hoc script; this is the repeatable harness. It
+pre-rolls B pendcart trajectories (the GPS outer-loop pattern:
+trust-region center + previous policy + dynamics linearizations), then
+times `ilqgkl_batch_lanes` to a fixed iteration budget in BOTH η modes
+(scalar bisection / per-step ADAM, reference `src/iLQGkl.jl:97-124` and
+`:185-236`).
+
+A/B the policy-emission + carry changes by running this same script in a
+worktree at an older commit (CLAUDE.md bench-variance protocol).
+
+Timing discipline per CLAUDE.md: persistent compile cache, fetch-baseline
+subtraction, one host fetch per measured solve.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache_bench")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+B, T = 4096, 500
+MAX_ITER = 10
+
+
+def _fetch(x):
+    return np.asarray(jax.device_get(jnp.ravel(x)[0]))
+
+
+def main():
+    from differentialdynamicprogramming_jl_tpu.models.pendcart import (
+        PendCartSpec, default_x0, pendcart_lanes, pendcart_derivs_tiles,
+        make_pendcart_problem)
+    from differentialdynamicprogramming_jl_tpu.ops.forward import (
+        forward_pass)
+    from differentialdynamicprogramming_jl_tpu.policy import GaussianPolicy
+    from differentialdynamicprogramming_jl_tpu.solvers.batch_kl import (
+        ilqgkl_batch_lanes)
+    from differentialdynamicprogramming_jl_tpu.solvers.ilqgkl import (
+        ILQGKLConfig)
+    from timing import fetch_baseline
+
+    dtype = jnp.float32
+    spec = PendCartSpec()
+    model = pendcart_lanes(spec)
+    tiles = pendcart_derivs_tiles(spec)
+    problem = make_pendcart_problem(spec, derivs="euler", dtype=dtype)
+
+    # GPS outer-loop inputs: trust-region centers from noisy swing-up
+    # controls, previous policy = the rollout's controls with unit Σ,
+    # per-scenario dynamics linearizations along the center
+    key = jax.random.PRNGKey(0)
+    x0s = (default_x0(dtype)[None, :]
+           + 0.2 * jax.random.normal(key, (B, 4), dtype)
+           * jnp.array([1, 1, 0, 0], dtype))
+    u0s = 0.2 * jax.random.normal(jax.random.PRNGKey(1), (B, T, 1), dtype)
+    ro = jax.vmap(lambda a, b: forward_pass(problem, a, b))(x0s, u0s)
+    prev = GaussianPolicy.zeros(T, 4, 1, dtype)
+    prev = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (B,) + a.shape), prev)
+    prev = prev._replace(k=ro.u)
+    d = jax.vmap(problem.make_derivs())(ro.x, ro.u)
+    cost0 = jnp.sum(ro.cost, -1)
+    jax.block_until_ready(cost0)
+
+    base = fetch_baseline()
+    out = {}
+    for tag, cfg in (
+        ("scalar_eta", ILQGKLConfig(kl_step=2.0, max_iter=MAX_ITER)),
+        ("per_step_eta", ILQGKLConfig(kl_step=2.0, max_iter=MAX_ITER,
+                                      constrain_per_step=True,
+                                      gd_alpha=0.01)),
+    ):
+        def run(cfg=cfg):
+            return ilqgkl_batch_lanes(model, tiles, ro.x, prev, d.fx,
+                                      cost0, cfg=cfg)
+        r = run()
+        _fetch(r.cost_total)              # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = run()
+            _fetch(r.cost_total)
+            best = min(best, time.perf_counter() - t0 - base)
+        out[tag] = {
+            "ms": round(best * 1e3, 1),
+            "solves_per_s": round(B / best),
+            "satisfied": int(np.sum(np.asarray(r.satisfied))),
+            "pd_failed": int(np.sum(np.asarray(r.pd_failed))),
+            "mean_cost": round(float(jnp.mean(r.cost_total)), 2),
+        }
+        print(json.dumps({tag: out[tag]}), flush=True)
+
+    out["workload"] = (f"pendcart GPS fleet B={B} T={T} f32, "
+                       f"{MAX_ITER}-iteration trust-region solves")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
