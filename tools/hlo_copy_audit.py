@@ -14,11 +14,43 @@ region, inflating the total count — only copies in the MAIN driver loop
 body (the region containing the trajectory-shaped carries) are meaningful
 for the TPU pipeline; kernel-internal regions do not exist there.
 
-Usage: python tools/hlo_copy_audit.py <repo_root> [<repo_root2> ...]
+Usage: python tools/hlo_copy_audit.py [--kl] <repo_root> [<repo_root2> ...]
+(default audits the iLQG lane driver; --kl audits the GPS/KL lane driver)
 """
 import math
 import subprocess
 import sys
+
+
+def _report(root: str, txt: str, carried_shapes) -> None:
+    cur = None
+    rows = []
+    for line in txt.splitlines():
+        s = line.strip()
+        if s.startswith("%") and s.endswith("{") and " = " not in s:
+            cur = s.split(" ")[0]
+        if s.startswith("ENTRY"):
+            cur = "ENTRY"
+        if " copy(" in s and "f32[" in s:
+            shape = s.split("f32[")[1].split("]")[0]
+            dims = [int(d) for d in shape.split(",") if d]
+            nbytes = math.prod(dims) * 4
+            if nbytes >= 100_000:          # big buffers only
+                rows.append((cur, shape, nbytes, s[:110]))
+
+    in_body = [r for r in rows if r[0] != "ENTRY"]
+    carried = [r for r in in_body if r[1] in carried_shapes]
+    print(f"{root}:")
+    print(f"  big (>=100 kB) copies: {len(rows)} total, "
+          f"{len(in_body)} inside loop bodies, "
+          f"{len(carried)} at CARRIED-stream shapes {sorted(carried_shapes)}"
+          f" <- only these are structural evidence; the rest is mostly"
+          f" interpret-mode Pallas operand prep")
+    for region, shape, nbytes, s in rows:
+        tag = "  <== carried-stream shape" if (region != "ENTRY"
+                                               and shape in carried_shapes
+                                               ) else ""
+        print(f"  {region} :: f32[{shape}] ({nbytes} B) :: {s}{tag}")
 
 
 def audit(root: str) -> None:
@@ -50,36 +82,60 @@ def audit(root: str) -> None:
         lam0=None, dlam0=None, accepted0=None,
         max_steps=jnp.asarray(2, jnp.int32),
         kt_backward=2, kt_forward=2, record_trace=False, interpret=True)
-    txt = lo.compile().as_text()
+    # carried trajectory stream (T, n+m+1, nB, 8, 128): the traj /
+    # traj_bwd carries — the rotation copy shows up at exactly this shape
+    _report(root, lo.compile().as_text(), {f"{T},6,1,8,128"})
 
-    cur = None
-    rows = []
-    for line in txt.splitlines():
-        s = line.strip()
-        if s.startswith("%") and s.endswith("{") and " = " not in s:
-            cur = s.split(" ")[0]
-        if s.startswith("ENTRY"):
-            cur = "ENTRY"
-        if " copy(" in s and "f32[" in s:
-            shape = s.split("f32[")[1].split("]")[0]
-            dims = [int(d) for d in shape.split(",") if d]
-            nbytes = math.prod(dims) * 4
-            if nbytes >= 100_000:          # big buffers only
-                rows.append((cur, shape, nbytes, s[:110]))
 
-    in_body = [r for r in rows if r[0] != "ENTRY"]
-    print(f"{root}:")
-    print(f"  big (>=100 kB) copies: {len(rows)} total, "
-          f"{len(in_body)} inside loop bodies")
-    for region, shape, nbytes, s in rows:
-        print(f"  {region} :: f32[{shape}] ({nbytes} B) :: {s}")
+def audit_kl(root: str) -> None:
+    sys.path.insert(0, root)
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from differentialdynamicprogramming_jl_tpu.models.pendcart import (
+        PendCartSpec, make_pendcart_problem, default_x0, pendcart_lanes,
+        pendcart_derivs_tiles)
+    from differentialdynamicprogramming_jl_tpu.ops.forward import (
+        forward_pass)
+    from differentialdynamicprogramming_jl_tpu.policy import GaussianPolicy
+    from differentialdynamicprogramming_jl_tpu.solvers.batch_kl import (
+        ilqgkl_batch_lanes)
+    from differentialdynamicprogramming_jl_tpu.solvers.ilqgkl import (
+        ILQGKLConfig)
+
+    B, T = 8, 10
+    dtype = jnp.float32
+    spec = PendCartSpec()
+    problem = make_pendcart_problem(spec, derivs="euler", dtype=dtype)
+    x0s = (default_x0(dtype)[None, :]
+           + 0.1 * jax.random.normal(jax.random.PRNGKey(0), (B, 4), dtype))
+    u0s = 0.2 * jax.random.normal(jax.random.PRNGKey(1), (B, T, 1), dtype)
+    ro = jax.vmap(lambda a, b: forward_pass(problem, a, b))(x0s, u0s)
+    prev = GaussianPolicy.zeros(T, 4, 1, dtype)
+    prev = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (B,) + a.shape), prev)
+    prev = prev._replace(k=ro.u)
+    d = jax.vmap(problem.make_derivs())(ro.x, ro.u)
+    cfg = ILQGKLConfig(kl_step=2.0, max_iter=4)
+    lo = ilqgkl_batch_lanes.lower(
+        pendcart_lanes(spec), pendcart_derivs_tiles(spec), ro.x, prev,
+        d.fx, jnp.sum(ro.cost, -1), cfg=cfg, kt=4, interpret=True)
+    # policy-emission stream (T, m + m·n + 2m² = 7, nB, 8, 128): the shape
+    # the pre-round-3 driver carried as `bo` (now replaced by eta_used)
+    _report(root, lo.compile().as_text(), {f"{T},7,1,8,128"})
 
 
 if __name__ == "__main__":
-    roots = sys.argv[1:] or ["."]
+    args = sys.argv[1:]
+    kl = "--kl" in args
+    roots = [a for a in args if a != "--kl"] or ["."]
     # one subprocess per root: each needs a clean import of the package
     if len(roots) > 1:
         for r in roots:
-            subprocess.run([sys.executable, __file__, r], check=False)
+            subprocess.run([sys.executable, __file__]
+                           + (["--kl"] if kl else []) + [r], check=False)
     else:
-        audit(roots[0])
+        (audit_kl if kl else audit)(roots[0])
