@@ -32,6 +32,7 @@ the reference's zero-control final evaluation,
 """
 from __future__ import annotations
 
+import functools
 from typing import Callable
 
 import jax
@@ -55,6 +56,7 @@ def _fc_factory(model: LanesModel, t, par):
     return fc
 
 
+@functools.lru_cache(maxsize=64)
 def autodiff_derivs_tiles(model: LanesModel,
                           second_order: bool = False) -> Callable:
     """Build a ``derivs_tiles`` function for :func:`~.backward_kernel.
@@ -65,9 +67,10 @@ def autodiff_derivs_tiles(model: LanesModel,
     double-jvp sweep that produces the cost Hessian, at no extra jvp count.
 
     The result is a plain function (hashable, no captured arrays beyond the
-    model's own constants): build it ONCE per model and reuse it — it is a
-    static jit argument of the lane drivers (see CLAUDE.md jit-cache
-    discipline; the model generators are lru-cached for the same reason).
+    model's own constants) used as a static jit argument of the lane
+    drivers; this builder is ``lru_cache``d by model, so repeated calls
+    with the same (cached) model return the SAME function object and hit
+    the drivers' jit cache (CLAUDE.md jit-cache discipline).
     """
     n, m = model.n, model.m
     nm = n + m
@@ -142,6 +145,7 @@ def autodiff_derivs_tiles(model: LanesModel,
     return tiles
 
 
+@functools.lru_cache(maxsize=64)
 def autodiff_packed_derivs(model: LanesModel) -> Callable:
     """Build a ``packed_derivs`` generator — ``(x_lanes (T, n, ...),
     u_lanes (T, m, ...)) → (T, D+m, ...)`` slots per
