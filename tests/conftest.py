@@ -12,6 +12,16 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compile cache (keyed by HLO hash): interpret-mode Pallas
+# compiles dominate the suite's ~30 min wall time and are identical across
+# runs, so repeat suite runs load executables from disk instead of
+# recompiling. Composes with the per-module clear_caches() below: memory
+# stays bounded, but re-JITs after a clear hit the disk cache. Code changes
+# change the HLO hash, so staleness is not a risk.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache_tests")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
 import pytest  # noqa: E402
 
 
