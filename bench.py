@@ -88,6 +88,17 @@ def _probe_devices(timeout_s: float = 240.0) -> bool:
 
 def main():
     if not _probe_devices():
+        # still ONE JSON line, machine-readable, with an honest null value
+        # (no stale/fabricated number) — plus a loud stderr note
+        print(json.dumps({
+            "metric": (f"ilqg_full_driver_iter_latency_b{B}_T{T}"
+                       f"_pendcart_boxqp_f32"),
+            "value": None,
+            "unit": "ms",
+            "vs_baseline": None,
+            "error": "accelerator unreachable (axon relay down); "
+                     "no measurement taken",
+        }))
         print("bench.py: accelerator unreachable (device probe timed out "
               "— axon relay down?); no measurement taken", file=sys.stderr)
         sys.exit(1)
