@@ -35,6 +35,7 @@ T = 500
 ITER_BUDGET = 20
 N_CHAIN = 3
 TARGET_MS = 10.0
+METRIC = f"ilqg_full_driver_iter_latency_b{B}_T{T}_pendcart_boxqp_f32"
 
 
 def _fetch(out):
@@ -91,8 +92,7 @@ def main():
         # still ONE JSON line, machine-readable, with an honest null value
         # (no stale/fabricated number) — plus a loud stderr note
         print(json.dumps({
-            "metric": (f"ilqg_full_driver_iter_latency_b{B}_T{T}"
-                       f"_pendcart_boxqp_f32"),
+            "metric": METRIC,
             "value": None,
             "unit": "ms",
             "vs_baseline": None,
@@ -131,8 +131,7 @@ def main():
 
     ms = best * 1e3
     print(json.dumps({
-        "metric": (f"ilqg_full_driver_iter_latency_b{B}_T{T}"
-                   f"_pendcart_boxqp_f32"),
+        "metric": METRIC,
         "value": round(ms, 3),
         "unit": "ms",
         "vs_baseline": round(TARGET_MS / ms, 3),

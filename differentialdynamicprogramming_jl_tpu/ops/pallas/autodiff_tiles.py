@@ -56,9 +56,20 @@ def _fc_factory(model: LanesModel, t, par):
     return fc
 
 
-@functools.lru_cache(maxsize=64)
 def autodiff_derivs_tiles(model: LanesModel,
                           second_order: bool = False) -> Callable:
+    """See :func:`_autodiff_derivs_tiles`. This thin wrapper normalizes the
+    argument spelling so ``f(m)``, ``f(m, False)`` and
+    ``f(m, second_order=False)`` all hit the same cache entry (an lru_cache
+    directly on the public function keys positional/keyword spellings
+    differently, which would silently hand out distinct — recompiling —
+    function objects)."""
+    return _autodiff_derivs_tiles(model, bool(second_order))
+
+
+@functools.lru_cache(maxsize=64)
+def _autodiff_derivs_tiles(model: LanesModel,
+                           second_order: bool = False) -> Callable:
     """Build a ``derivs_tiles`` function for :func:`~.backward_kernel.
     backward_lanes` from ``model``'s dynamics/cost alone.
 

@@ -84,6 +84,19 @@ def test_batch_kl_matches_xla_driver():
     np.testing.assert_array_equal(np.asarray(out.satisfied),
                                   np.asarray(ref.satisfied))
     assert np.all(np.isfinite(np.asarray(out.u)))
+    # the returned POLICY comes from the post-loop backward replay at the
+    # carried eta_used (round 3 — the stream is no longer carried); it must
+    # match the XLA tier's last-backward policy, which pins eta_used ==
+    # the η every lane's final backward actually ran with
+    np.testing.assert_allclose(np.asarray(out.policy.K),
+                               np.asarray(ref.policy.K),
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(out.policy.sigma),
+                               np.asarray(ref.policy.sigma),
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(out.policy.sigma_inv),
+                               np.asarray(ref.policy.sigma_inv),
+                               rtol=5e-3, atol=5e-3)
     # trace parity row-for-row: both tiers measure Δcost against the FIXED
     # pre-rolled cost (the reference never moves x/u/cost inside its loop,
     # src/iLQGkl.jl:137-140,239-240)

@@ -39,17 +39,24 @@ def _report(root: str, txt: str, carried_shapes) -> None:
                 rows.append((cur, shape, nbytes, s[:110]))
 
     in_body = [r for r in rows if r[0] != "ENTRY"]
-    carried = [r for r in in_body if r[1] in carried_shapes]
+    # structural carry copies always copy a get-tuple-element (a carry
+    # position's input); copies of pad/fusion outputs at the same shape are
+    # interpret-mode Pallas operand prep (e.g. the forward kernel's
+    # emit_traj stream matches the carried trajectory shape exactly) and
+    # must NOT be counted — they have no TPU counterpart
+    carried = [r for r in in_body
+               if r[1] in carried_shapes
+               and "copy(%get-tuple-element" in r[3]]
     print(f"{root}:")
     print(f"  big (>=100 kB) copies: {len(rows)} total, "
           f"{len(in_body)} inside loop bodies, "
-          f"{len(carried)} at CARRIED-stream shapes {sorted(carried_shapes)}"
-          f" <- only these are structural evidence; the rest is mostly"
-          f" interpret-mode Pallas operand prep")
+          f"{len(carried)} GTE-operand copies at CARRIED-stream shapes "
+          f"{sorted(carried_shapes)} <- only these are structural "
+          f"evidence; the rest is mostly interpret-mode Pallas operand "
+          f"prep")
     for region, shape, nbytes, s in rows:
-        tag = "  <== carried-stream shape" if (region != "ENTRY"
-                                               and shape in carried_shapes
-                                               ) else ""
+        tag = ("  <== carried-stream GTE copy"
+               if (region, shape, nbytes, s) in carried else "")
         print(f"  {region} :: f32[{shape}] ({nbytes} B) :: {s}{tag}")
 
 
