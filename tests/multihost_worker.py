@@ -29,6 +29,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# share the suite's persistent compile cache (tests/conftest.py) — the
+# workers are fresh processes and would otherwise recompile both solver
+# tiers every run; concurrent writers are safe (atomic renames)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache_tests")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 from differentialdynamicprogramming_jl_tpu.parallel import (  # noqa: E402
     distributed as D)
