@@ -84,8 +84,15 @@ class _Carry(NamedTuple):
     cost_tot: jax.Array   # (nB, 8, 128) incl. terminal
     lam: jax.Array        # (nB, 8, 128)
     dlam: jax.Array
-    traj_bwd: jax.Array   # trajectory the LAST executed backward pass saw
-    #                       (= traj at iteration entry; done lanes frozen)
+    traj_bwd: jax.Array   # x/u slots (T, n+m, ...) of the trajectory the
+    #                       LAST executed backward pass saw (= traj at
+    #                       iteration entry; done lanes frozen). Only n+m
+    #                       slots: the backward kernel never reads the cost
+    #                       row (in_slots = n+m), and this carry rotates —
+    #                       position buffers are fixed in XLA while loops,
+    #                       so the rotation costs a full copy per iteration
+    #                       (BASELINE.md copy audit); carry only what the
+    #                       replay consumes.
     lam_used: jax.Array   # post-retry λ that backward ran with — together
     #                       with traj_bwd this replays the final backward
     #                       outputs once after the loop (see below)
@@ -352,7 +359,7 @@ def _ilqg_batch_lanes_jit(model: LanesModel,
     carry0 = _Carry(
         traj=traj_init, bwd_in=bwd_in0, cost_tot=tot_init,
         lam=lam_init, dlam=dlam_init,
-        traj_bwd=traj_init, lam_used=lam_init,
+        traj_bwd=traj_init[:, :n + m], lam_used=lam_init,
         done=(~any0) | (~lane_valid),
         reason=jnp.where(any0, 0, 5).astype(jnp.int32),
         accepted=acc_init,
@@ -517,7 +524,7 @@ def _ilqg_batch_lanes_jit(model: LanesModel,
             traj=traj_n, bwd_in=bwd_in_n, cost_tot=tot_n,
             lam=jnp.where(active, lam_n, c.lam),
             dlam=jnp.where(active, dlam_n, c.dlam),
-            traj_bwd=c.traj, lam_used=lam,
+            traj_bwd=c.traj[:, :n + m], lam_used=lam,
             done=done, reason=reason,
             accepted=accepted, it=c.it + 1,
             it_lane=jnp.where(active, c.it, c.it_lane),
