@@ -323,10 +323,11 @@ def _boxqp_masked(H, g, lo, hi, x0, mm, n_iter):
 def _make_kernel(n: int, m: int, T: int, K_T: int, reg_type: int,
                  lims: Optional[Tuple[Tuple[float, float], ...]],
                  derivs_tiles=None, gps: bool = False, n_params: int = 0,
-                 qp_iters: int = 8, emit: str = "full"):
+                 qp_iters: int = 8, emit: str = "full",
+                 dyn_lims: bool = False):
     lay = InLayout(n, m)
     out = OutLayout(n, m, emit)
-    use_limits = lims is not None
+    use_limits = (lims is not None) or dyn_lims
     warm = use_limits and m > 2     # carried k warm start for the boxQP
     T_pad = -(-T // K_T) * K_T
     Tb = T_pad // K_T
@@ -391,7 +392,7 @@ def _make_kernel(n: int, m: int, T: int, K_T: int, reg_type: int,
             cuu=Si)
 
     def substep(kk, t_log, dp, o_ref, lam, scr, boundary: bool, kl=None,
-                par=None):
+                par=None, limt=None):
         """One timestep. ``kk`` static sub-index in the block; ``t_log``
         traced logical timestep; ``boundary`` selects the t=T-1 init."""
         zero = jnp.zeros((SUBLANES, LANES), jnp.float32)
@@ -520,8 +521,8 @@ def _make_kernel(n: int, m: int, T: int, K_T: int, reg_type: int,
                 for mi in range(m):
                     K_t[mi][j] = col[mi]
         elif m == 1:
-            lo = lims[0][0] - u_t[0]
-            hi = lims[0][1] - u_t[0]
+            lo = limt[0][0] - u_t[0]
+            hi = limt[0][1] - u_t[0]
             x, free, ok = _boxqp_m1(QuuF[0][0], Qu[0], lo, hi)
             k_t = [x]
             quu_s = jnp.where(jnp.abs(QuuF[0][0]) > 1e-30,
@@ -529,8 +530,8 @@ def _make_kernel(n: int, m: int, T: int, K_T: int, reg_type: int,
             K_t = [[jnp.where(free, -Qux_r[0][j] / quu_s, 0.0)
                     for j in range(n)]]
         elif m == 2:
-            lo = [lims[0][0] - u_t[0], lims[1][0] - u_t[1]]
-            hi = [lims[0][1] - u_t[0], lims[1][1] - u_t[1]]
+            lo = [limt[0][0] - u_t[0], limt[1][0] - u_t[1]]
+            hi = [limt[0][1] - u_t[0], limt[1][1] - u_t[1]]
             x0, x1, f0, f1, ok = _boxqp_m2(QuuF, Qu, lo, hi)
             both = f0 & f1
             k_t = [x0, x1]
@@ -553,8 +554,8 @@ def _make_kernel(n: int, m: int, T: int, K_T: int, reg_type: int,
             # from the next timestep's k (src/backward_pass.jl:49); feedback
             # gains solved on the final free subspace
             # (src/backward_pass.jl:55-60)
-            lo = [lims[mi][0] - u_t[mi] for mi in range(m)]
-            hi = [lims[mi][1] - u_t[mi] for mi in range(m)]
+            lo = [limt[mi][0] - u_t[mi] for mi in range(m)]
+            hi = [limt[mi][1] - u_t[mi] for mi in range(m)]
             x0w = [scr[SK + mi] for mi in range(m)]
             k_t, free, Lq, ok = _boxqp_masked(QuuF, Qu, lo, hi, x0w, m,
                                               qp_iters)
@@ -658,12 +659,21 @@ def _make_kernel(n: int, m: int, T: int, K_T: int, reg_type: int,
         else:
             prev_ref = eta_ref = None
         params_ref = rest.pop(0) if n_params else None
+        lims_ref = rest.pop(0) if dyn_lims else None
         o_ref, stat_ref, scr = rest
         g = pl.program_id(1)
         lam = lam_ref[0]
         blk = (Tb - 1) - g                  # time-block index (traced)
         par = ([params_ref[p, 0] for p in range(n_params)]
                if n_params else None)
+        # control limits: static floats or per-scenario lane tiles (slot
+        # order [lo_0, hi_0, ...]) — the reference's runtime-data lims
+        # (src/iLQG.jl:124, src/backward_pass.jl:45-49)
+        if dyn_lims:
+            limt = [(lims_ref[2 * mi, 0], lims_ref[2 * mi + 1, 0])
+                    for mi in range(m)]
+        else:
+            limt = lims
 
         def dp(kk, s):
             return dp_ref[kk, s, 0]
@@ -676,15 +686,15 @@ def _make_kernel(n: int, m: int, T: int, K_T: int, reg_type: int,
                 @pl.when(g == 0)
                 def _():
                     substep(kk, t_log, dp, o_ref, lam, scr, boundary=True,
-                            kl=kl, par=par)
+                            kl=kl, par=par, limt=limt)
 
                 @pl.when(g > 0)
                 def _():
                     substep(kk, t_log, dp, o_ref, lam, scr, boundary=False,
-                            kl=kl, par=par)
+                            kl=kl, par=par, limt=limt)
             else:
                 substep(kk, t_log, dp, o_ref, lam, scr, boundary=False,
-                        kl=kl, par=par)
+                        kl=kl, par=par, limt=limt)
 
         stat_ref[0, 0] = scr[SDV1]
         stat_ref[1, 0] = scr[SDV2]
@@ -724,6 +734,7 @@ def backward_lanes(dp: jax.Array, lam: jax.Array,
                    prev: Optional[jax.Array] = None,
                    eta: Optional[jax.Array] = None,
                    params: Optional[jax.Array] = None,
+                   lims_lanes: Optional[jax.Array] = None,
                    qp_iters: int = 8,
                    emit: str = "full",
                    interpret: bool = False) -> BackwardLanesOut:
@@ -739,7 +750,10 @@ def backward_lanes(dp: jax.Array, lam: jax.Array,
       (n, m)). This cuts the input HBM traffic ~9×.
 
     ``lam``: per-scenario λ (nB, 8, 128). ``lims``: static ((lo, hi),)*m or
-    None. ``k_t``: timesteps per grid step. ``emit``: output-stream slot
+    None; ``lims_lanes``: PER-SCENARIO limits as lane tiles
+    (2m, nB, 8, 128), slot order [lo_0, hi_0, ...] — overrides ``lims``
+    (the reference takes lims as runtime data, ``src/iLQG.jl:124``).
+    ``k_t``: timesteps per grid step. ``emit``: output-stream slot
     selection (see :class:`OutLayout`) — the kernel is bandwidth-bound on
     this stream, so hot loops should request only what they consume
     (``"gains"`` for the iLQG loop, ``"policy"`` for the GPS/KL loop).
@@ -764,12 +778,13 @@ def backward_lanes(dp: jax.Array, lam: jax.Array,
         in_slots = n + m
     assert T >= 2
     n_params = 0 if params is None else params.shape[0]
+    dyn_lims = lims_lanes is not None
     S_out = OutLayout(n, m, emit).S
     slots = in_slots + S_out + ((m + m * n + m * m + 1) if gps else 0)
     k_t = clamp_k_t(k_t, T, slots)
     kernel, n_scratch, Tb, pad = _make_kernel(n, m, T, k_t, reg_type, lims,
                                               derivs_tiles, gps, n_params,
-                                              qp_iters, emit)
+                                              qp_iters, emit, dyn_lims)
     if pad:
         zfront = lambda a: jnp.concatenate(
             [jnp.zeros((pad,) + a.shape[1:], a.dtype), a], axis=0)
@@ -807,6 +822,12 @@ def backward_lanes(dp: jax.Array, lam: jax.Array,
             (n_params, 1) + tile, lambda bt, g: (0, bt, 0, 0),
             memory_space=pltpu.VMEM))
         inputs.append(params)
+    if dyn_lims:
+        assert lims_lanes.shape[0] == 2 * m, lims_lanes.shape
+        in_specs.append(pl.BlockSpec(
+            (2 * m, 1) + tile, lambda bt, g: (0, bt, 0, 0),
+            memory_space=pltpu.VMEM))
+        inputs.append(lims_lanes)
 
     out = pl.pallas_call(
         kernel,

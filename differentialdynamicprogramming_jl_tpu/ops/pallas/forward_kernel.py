@@ -46,6 +46,12 @@ class LanesModel:
       all three functions take a trailing ``params`` argument (list of
       ``n_params`` lane tiles, constant over the horizon) — heterogeneous
       fleets (varying masses, lengths, targets, ...) in one compile.
+    - ``diff``: optional custom state difference ``diff(x, x_old) ->
+      list[n]`` of tiles, used by the feedback term of the control law
+      (reference ``diff_fun``, ``src/iLQG.jl:131``,
+      ``src/forward_pass.jl:19`` — e.g. angle wrapping on attitude states).
+      Default: elementwise subtraction. The lane-tier counterpart of
+      ``Problem.diff`` on the XLA tier.
     """
 
     n: int
@@ -54,6 +60,7 @@ class LanesModel:
     cost: Callable
     terminal: Optional[Callable] = None
     n_params: int = 0
+    diff: Optional[Callable] = None
 
 
 class ForwardLanesOut(NamedTuple):
@@ -64,7 +71,7 @@ class ForwardLanesOut(NamedTuple):
 
 def _make_kernel(model: LanesModel, T: int, K_T: int, A: int,
                  lims: Optional[Tuple[Tuple[float, float], ...]],
-                 gk: int, gK: int, emit_traj: bool):
+                 gk: int, gK: int, emit_traj: bool, dyn_lims: bool = False):
     n, m = model.n, model.m
     P = model.n_params
     Tb = -(-T // K_T)
@@ -77,6 +84,7 @@ def _make_kernel(model: LanesModel, T: int, K_T: int, A: int,
         traj_ref, gains_ref, x0_ref, alpha_ref = refs[:4]
         rest = refs[4:]
         params_ref = rest.pop(0) if P else None
+        lims_ref = rest.pop(0) if dyn_lims else None
         if emit_traj:
             totals_ref, term_ref, out_ref, scr = rest
         else:
@@ -90,6 +98,19 @@ def _make_kernel(model: LanesModel, T: int, K_T: int, A: int,
                        else (lambda x: model.terminal(x, par)))
         else:
             dyn, cost_fn, term_fn = model.dynamics, model.cost, model.terminal
+        # control limits: static floats, or per-scenario lane tiles read
+        # from the lims input (slot order [lo_0, hi_0, lo_1, hi_1, ...]) —
+        # heterogeneous actuator bounds stay on the fast path
+        # (reference lims are runtime data, src/iLQG.jl:124,
+        # src/forward_pass.jl:22-24)
+        if dyn_lims:
+            lim_lo = [lims_ref[2 * mi, 0] for mi in range(m)]
+            lim_hi = [lims_ref[2 * mi + 1, 0] for mi in range(m)]
+        elif lims is not None:
+            lim_lo = [lims[mi][0] for mi in range(m)]
+            lim_hi = [lims[mi][1] for mi in range(m)]
+        else:
+            lim_lo = lim_hi = None
 
         @pl.when(g == 0)
         def _():
@@ -113,15 +134,19 @@ def _make_kernel(model: LanesModel, T: int, K_T: int, A: int,
             for a in range(A):
                 x = [scr[a * stride + i] for i in range(n)]
                 alpha = alpha_ref[a, 0]
-                # u = u_nom + α k + K (x - x_old), clamped
-                # (src/forward_pass.jl:17-24)
+                # u = u_nom + α k + K diff(x, x_old), clamped
+                # (src/forward_pass.jl:17-24; diff_fun src/iLQG.jl:131)
+                if model.diff is not None:
+                    dx = model.diff(x, x_old)
+                else:
+                    dx = [x[j] - x_old[j] for j in range(n)]
                 u = []
                 for mi in range(m):
                     v = u_nom[mi] + alpha * k_t[mi]
                     for j in range(n):
-                        v = v + K_t[mi][j] * (x[j] - x_old[j])
-                    if lims is not None:
-                        v = jnp.clip(v, lims[mi][0], lims[mi][1])
+                        v = v + K_t[mi][j] * dx[j]
+                    if lim_lo is not None:
+                        v = jnp.clip(v, lim_lo[mi], lim_hi[mi])
                     u.append(v)
                 c = cost_fn(x, u, t_log)
                 if emit_traj and a == 0:
@@ -154,6 +179,7 @@ def _make_kernel(model: LanesModel, T: int, K_T: int, A: int,
 def forward_lanes(traj: jax.Array, gains: jax.Array, x0: jax.Array,
                   alphas: jax.Array,
                   params: Optional[jax.Array] = None,
+                  lims_lanes: Optional[jax.Array] = None,
                   *, model: LanesModel,
                   lims: Optional[Tuple[Tuple[float, float], ...]] = None,
                   gk: int = 0, gK: Optional[int] = None,
@@ -176,10 +202,15 @@ def forward_lanes(traj: jax.Array, gains: jax.Array, x0: jax.Array,
     - ``emit_traj``: write the candidate-0 trajectory stream
       (T, n+m+1, nB, 8, 128) — use with A==1 and per-scenario α for the
       accepted-step re-roll.
+    - ``lims_lanes``: optional PER-SCENARIO control limits as lane tiles
+      (2m, nB, 8, 128), slot order [lo_0, hi_0, ...] — overrides the static
+      ``lims``; heterogeneous actuator bounds in one compile (the reference
+      takes lims as runtime data, ``src/iLQG.jl:124``).
     """
     n, m = model.n, model.m
     T, nB = traj.shape[0], traj.shape[2]
     A = alphas.shape[0]
+    dyn_lims = lims_lanes is not None
     if gK is None:
         gK = m
     if g_slots is None:
@@ -189,7 +220,7 @@ def forward_lanes(traj: jax.Array, gains: jax.Array, x0: jax.Array,
                     + ((n + m + 1) if emit_traj else 0))
     k_t = min(k_t, T)
     kernel, Tb, T_pad, n_scratch = _make_kernel(
-        model, T, k_t, A, lims, gk, gK, emit_traj)
+        model, T, k_t, A, lims, gk, gK, emit_traj, dyn_lims)
     if T_pad != T:
         zpad = lambda a: jnp.concatenate(
             [a, jnp.zeros((T_pad - T,) + a.shape[1:], a.dtype)], axis=0)
@@ -224,6 +255,11 @@ def forward_lanes(traj: jax.Array, gains: jax.Array, x0: jax.Array,
         in_specs.append(pl.BlockSpec((model.n_params, 1) + tile, fixedA,
                                      memory_space=pltpu.VMEM))
         inputs.append(params)
+    if dyn_lims:
+        assert lims_lanes.shape[0] == 2 * m, lims_lanes.shape
+        in_specs.append(pl.BlockSpec((2 * m, 1) + tile, fixedA,
+                                     memory_space=pltpu.VMEM))
+        inputs.append(lims_lanes)
 
     res = pl.pallas_call(
         kernel,

@@ -34,15 +34,35 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "b") -> Mesh:
 
 def ilqg_batched(problem: Problem, x0s: jax.Array, u0s: jax.Array,
                  lims: Optional[jax.Array] = None,
-                 cfg: ILQGConfig = ILQGConfig()) -> ILQGResult:
+                 cfg: ILQGConfig = ILQGConfig(),
+                 cost0: Optional[jax.Array] = None,
+                 lam0: Optional[jax.Array] = None,
+                 dlam0: Optional[jax.Array] = None,
+                 accepted0: Optional[jax.Array] = None) -> ILQGResult:
     """vmap the full solver over a leading scenario axis of ``x0s``/``u0s``.
 
     Each scenario keeps its own λ/α/termination state; JAX's while-loop
     batching runs until every scenario is done (lock-step with per-element
     masking) — the single-device building block for :func:`ilqg_sharded`.
+
+    Warm start / resume at fleet scale (reference semantics
+    ``src/iLQG.jl:85-87,193-197``, mirroring the lane tier's entries):
+    ``x0s`` may be pre-rolled (B, T, n) trajectories with optional per-step
+    ``cost0`` (B, T); ``lam0``/``dlam0``/``accepted0`` (B,) resume the λ
+    schedule and iteration budget from a prior result. ``lims`` may be
+    fleet-wide (m, 2) or per-scenario (B, m, 2).
     """
-    return jax.vmap(lambda x0, u0: ilqg(problem, x0, u0, lims=lims, cfg=cfg)
-                    )(x0s, u0s)
+    per_lims = lims is not None and jnp.asarray(lims).ndim == 3
+    in_axes = (0, 0, 0 if per_lims else None,
+               0 if cost0 is not None else None,
+               0 if lam0 is not None else None,
+               0 if dlam0 is not None else None,
+               0 if accepted0 is not None else None)
+    return jax.vmap(
+        lambda x0, u0, l, c0, l0, d0, a0: ilqg(
+            problem, x0, u0, lims=l, cfg=cfg, cost0=c0,
+            lam0=l0, dlam0=d0, accepted0=a0),
+        in_axes=in_axes)(x0s, u0s, lims, cost0, lam0, dlam0, accepted0)
 
 
 def ilqg_sharded(problem: Problem, x0s: jax.Array, u0s: jax.Array,
@@ -50,7 +70,11 @@ def ilqg_sharded(problem: Problem, x0s: jax.Array, u0s: jax.Array,
                  cfg: ILQGConfig = ILQGConfig(),
                  mesh: Optional[Mesh] = None,
                  axis: str = "b",
-                 reduce_stats: bool = False):
+                 reduce_stats: bool = False,
+                 cost0: Optional[jax.Array] = None,
+                 lam0: Optional[jax.Array] = None,
+                 dlam0: Optional[jax.Array] = None,
+                 accepted0: Optional[jax.Array] = None):
     """Shard a scenario batch over a device mesh and solve.
 
     ``shard_map`` gives each device an independent program: per-shard
@@ -60,6 +84,11 @@ def ilqg_sharded(problem: Problem, x0s: jax.Array, u0s: jax.Array,
     counts are ``psum``-reduced over the mesh (trace-reduction pattern,
     SURVEY.md §5) and returned alongside.
 
+    Warm start / resume: as :func:`ilqg_batched` — pre-rolled ``x0s`` +
+    ``cost0`` and the (B,) ``lam0``/``dlam0``/``accepted0`` counters ride
+    sharded ``P(axis)``, so MPC re-rolls and fleet resumes run on the
+    portable tier at pod scale too.
+
     The batch axis must divide the mesh size. Returns an :class:`ILQGResult`
     with leading batch axis (sharded) and, optionally, the reduced stats.
     """
@@ -68,23 +97,35 @@ def ilqg_sharded(problem: Problem, x0s: jax.Array, u0s: jax.Array,
     n_dev = mesh.devices.size
     B = x0s.shape[0]
     assert B % n_dev == 0, f"batch {B} must divide over {n_dev} devices"
+    per_lims = lims is not None and jnp.asarray(lims).ndim == 3
+    opt = {"cost0": cost0, "lam0": lam0, "dlam0": dlam0,
+           "accepted0": accepted0}
+    opt_keys = tuple(k for k, v in opt.items() if v is not None)
     fn = _sharded_xla_solver(problem, cfg, mesh, axis, reduce_stats,
-                             lims is not None)
-    if lims is None:
-        return fn(x0s, u0s)
-    return fn(x0s, u0s, jnp.asarray(lims))
+                             lims is not None, per_lims, opt_keys)
+    args = (x0s, u0s)
+    if lims is not None:
+        args += (jnp.asarray(lims),)
+    args += tuple(opt[k] for k in opt_keys)
+    return fn(*args)
 
 
 @functools.lru_cache(maxsize=64)
-def _sharded_xla_solver(problem, cfg, mesh, axis, reduce_stats, has_lims):
+def _sharded_xla_solver(problem, cfg, mesh, axis, reduce_stats, has_lims,
+                        per_lims=False, opt_keys=()):
     """Build (and cache — jit caches by function identity, so a fresh
     closure per call would silently recompile every solve) the jitted
     shard_map'd XLA-tier solver. ``lims`` rides as a replicated traced
-    argument so differing limit values hit the same compile."""
+    argument (or sharded, when per-scenario) so differing limit values hit
+    the same compile; ``opt_keys`` names the warm-start/resume inputs
+    present (each sharded ``P(axis)``)."""
 
-    def solve_shard(x0_shard, u0_shard, *maybe_lims):
-        lims = maybe_lims[0] if has_lims else None
-        res = ilqg_batched(problem, x0_shard, u0_shard, lims=lims, cfg=cfg)
+    def solve_shard(x0_shard, u0_shard, *rest):
+        rest = list(rest)
+        lims = rest.pop(0) if has_lims else None
+        kw = dict(zip(opt_keys, rest))
+        res = ilqg_batched(problem, x0_shard, u0_shard, lims=lims, cfg=cfg,
+                           **kw)
         if not reduce_stats:
             return res
         # scalar convergence stats over the whole fleet: psum over ICI
@@ -100,7 +141,9 @@ def _sharded_xla_solver(problem, cfg, mesh, axis, reduce_stats, has_lims):
     res_specs = jax.tree_util.tree_map(lambda _: P(axis),
                                        _result_structure())
     out_specs = (res_specs, P()) if reduce_stats else res_specs
-    in_specs = (P(axis), P(axis)) + ((P(),) if has_lims else ())
+    in_specs = ((P(axis), P(axis))
+                + ((P(axis) if per_lims else P(),) if has_lims else ())
+                + (P(axis),) * len(opt_keys))
     return jax.jit(jax.shard_map(solve_shard, mesh=mesh, in_specs=in_specs,
                                  out_specs=out_specs, check_vma=False))
 
@@ -125,9 +168,11 @@ def ilqg_batch_sharded(model, packed_derivs, x0s: jax.Array, u0s: jax.Array,
 
     ``model``: :class:`~..ops.pallas.forward_kernel.LanesModel`;
     ``packed_derivs``: lane-layout derivative generator; ``lims``: static
-    ``((lo, hi),)*m`` or None.
+    ``((lo, hi),)*m``, a per-scenario (B, m, 2) array (sharded ``P(axis)``
+    like every batch-leading input), or None.
     """
     from ..solvers.ilqg import ILQGConfig
+    from ..solvers.batch import split_lims
     if cfg is None:
         cfg = ILQGConfig()
     if mesh is None:
@@ -135,28 +180,33 @@ def ilqg_batch_sharded(model, packed_derivs, x0s: jax.Array, u0s: jax.Array,
     n_dev = mesh.devices.size
     B = x0s.shape[0]
     assert B % n_dev == 0, f"batch {B} must divide over {n_dev} devices"
+    lims, lims_batch = split_lims(lims)
     fn = _sharded_lane_solver(model, packed_derivs, derivs_tiles, lims, cfg,
                               mesh, axis, reduce_stats, kt_backward,
-                              kt_forward, interpret)
-    return fn(x0s, u0s)
+                              kt_forward, interpret,
+                              lims_batch is not None)
+    args = (x0s, u0s) + ((lims_batch,) if lims_batch is not None else ())
+    return fn(*args)
 
 
 @functools.lru_cache(maxsize=64)
 def _sharded_lane_solver(model, packed_derivs, derivs_tiles, lims, cfg,
                          mesh, axis, reduce_stats, kt_backward, kt_forward,
-                         interpret):
+                         interpret, has_lims_batch=False):
     """Build (and cache — jit caches by function identity, so a fresh
     closure per call would recompile every solve) the jitted shard_map'd
     lane solver."""
-    from ..solvers.batch import ilqg_batch_lanes, BatchILQGResult
+    from ..solvers.batch import _ilqg_batch_lanes_jit, BatchILQGResult
 
-    def solve_shard(x0_shard, u0_shard):
-        res = ilqg_batch_lanes(model, packed_derivs, x0_shard, u0_shard,
-                               lims=lims, cfg=cfg,
-                               derivs_tiles=derivs_tiles,
-                               kt_backward=kt_backward,
-                               kt_forward=kt_forward,
-                               interpret=interpret)
+    def solve_shard(x0_shard, u0_shard, *maybe_lims):
+        lims_b = maybe_lims[0] if has_lims_batch else None
+        res = _ilqg_batch_lanes_jit(model, packed_derivs, x0_shard, u0_shard,
+                                    lims=lims, lims_batch=lims_b, cfg=cfg,
+                                    derivs_tiles=derivs_tiles,
+                                    max_steps=jnp.int32(cfg.cap() - 1),
+                                    kt_backward=kt_backward,
+                                    kt_forward=kt_forward,
+                                    interpret=interpret)
         if not reduce_stats:
             return res
         stats = jnp.stack([
@@ -173,8 +223,9 @@ def _sharded_lane_solver(model, packed_derivs, derivs_tiles, lims, cfg,
         n_iters=P(axis), n_accepted=P(axis), reason=P(axis), lam=P(axis),
         dlam=P(axis), g_norm=P(axis))
     out_specs = (res_specs, P()) if reduce_stats else res_specs
+    in_specs = (P(axis), P(axis)) + ((P(axis),) if has_lims_batch else ())
     return jax.jit(jax.shard_map(solve_shard, mesh=mesh,
-                                 in_specs=(P(axis), P(axis)),
+                                 in_specs=in_specs,
                                  out_specs=out_specs, check_vma=False))
 
 
@@ -206,6 +257,7 @@ def ilqgkl_batch_sharded(model, derivs_tiles, x0s: jax.Array, traj_prev,
     alongside, replicated on every device/process.
     """
     from ..solvers.ilqgkl import ILQGKLConfig
+    from ..solvers.batch import split_lims
     if cfg is None:
         cfg = ILQGKLConfig()
     if mesh is None:
@@ -213,25 +265,33 @@ def ilqgkl_batch_sharded(model, derivs_tiles, x0s: jax.Array, traj_prev,
     n_dev = mesh.devices.size
     B = x0s.shape[0]
     assert B % n_dev == 0, f"batch {B} must divide over {n_dev} devices"
+    lims, lims_batch = split_lims(lims)
     fn = _sharded_kl_solver(model, derivs_tiles, lims, cfg, r1, kt, mesh,
-                            axis, reduce_stats, record_trace, interpret)
-    return fn(x0s, traj_prev, fx_model, cost0)
+                            axis, reduce_stats, record_trace, interpret,
+                            lims_batch is not None)
+    args = (x0s, traj_prev, fx_model, cost0) + (
+        (lims_batch,) if lims_batch is not None else ())
+    return fn(*args)
 
 
 @functools.lru_cache(maxsize=64)
 def _sharded_kl_solver(model, derivs_tiles, lims, cfg, r1, kt, mesh, axis,
-                       reduce_stats, record_trace, interpret):
+                       reduce_stats, record_trace, interpret,
+                       has_lims_batch=False):
     """Build (and cache — jit caches by function identity, so a fresh
     closure per call would recompile every solve) the jitted shard_map'd
     KL-tier lane solver."""
-    from ..solvers.batch_kl import ilqgkl_batch_lanes, BatchKLResult
+    from ..solvers.batch_kl import _ilqgkl_batch_lanes_jit, BatchKLResult
     from ..solvers.batch_kl import BatchKLTrace
 
-    def solve_shard(x0_shard, prev_shard, fx_shard, cost0_shard):
-        res = ilqgkl_batch_lanes(model, derivs_tiles, x0_shard, prev_shard,
-                                 fx_shard, cost0_shard, lims=lims, cfg=cfg,
-                                 r1=r1, kt=kt, record_trace=record_trace,
-                                 interpret=interpret)
+    def solve_shard(x0_shard, prev_shard, fx_shard, cost0_shard,
+                    *maybe_lims):
+        lims_b = maybe_lims[0] if has_lims_batch else None
+        res = _ilqgkl_batch_lanes_jit(
+            model, derivs_tiles, x0_shard, prev_shard,
+            fx_shard, cost0_shard, lims=lims, lims_batch=lims_b, cfg=cfg,
+            r1=r1, kt=kt, record_trace=record_trace,
+            interpret=interpret)
         if not reduce_stats:
             return res
         stats = jnp.stack([
@@ -246,14 +306,17 @@ def _sharded_kl_solver(model, derivs_tiles, lims, cfg, r1, kt, mesh, axis,
         cost=P(axis), cost_total=P(axis), eta=P(axis), divergence=P(axis),
         satisfied=P(axis), kl_violated=P(axis), n_iters=P(axis),
         pd_failed=P(axis),
+        bracket=P(axis), delta=P(axis), adam=P(axis), done=P(axis),
         trace=(BatchKLTrace(*([P(axis)] * len(BatchKLTrace._fields)))
                if record_trace else None))
     out_specs = (res_specs, P()) if reduce_stats else res_specs
     gp_in = _gp_skel()._replace(K=P(axis), k=P(axis), sigma=P(axis),
                                 sigma_inv=P(axis))
+    in_specs = (P(axis), gp_in, P(axis), P(axis)) + (
+        (P(axis),) if has_lims_batch else ())
     return jax.jit(jax.shard_map(
         solve_shard, mesh=mesh,
-        in_specs=(P(axis), gp_in, P(axis), P(axis)),
+        in_specs=in_specs,
         out_specs=out_specs, check_vma=False))
 
 
@@ -262,7 +325,7 @@ def _result_structure():
     return ILQGResult(x=0, u=0, policy=type(
         "GP", (), {})() if False else _gp_skel(), Vx=0, Vxx=0, cost=0,
         trace=_trace_skel(), n_iters=0, n_accepted=0, reason=0, lam=0,
-        g_norm=0)
+        g_norm=0, dlam=0)
 
 
 def _gp_skel():

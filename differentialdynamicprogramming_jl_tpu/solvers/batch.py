@@ -111,6 +111,29 @@ def _bc(mask, arr):
     return mask.reshape((1,) * extra + mask.shape)
 
 
+def split_lims(lims):
+    """Sort a user ``lims`` into (static tuple, per-scenario array): tuples/
+    lists of pairs stay static (hashable jit arg, folded into the kernel);
+    a (B, m, 2) array becomes the traced per-scenario input."""
+    if lims is None:
+        return None, None
+    if isinstance(lims, tuple) or isinstance(lims, list):
+        return tuple((float(lo), float(hi)) for lo, hi in lims), None
+    lims = jnp.asarray(lims)
+    assert lims.ndim == 3 and lims.shape[-1] == 2, (
+        f"per-scenario lims must be (B, m, 2), got {lims.shape}")
+    return None, lims
+
+
+def pack_lims(lims_batch, B):
+    """(B, m, 2) per-scenario limits → (2m, nB, 8, 128) lane tiles, slot
+    order [lo_0, hi_0, ...] (the kernels' dynamic-lims input). Lanes beyond
+    B pad with zeros (lo=hi=0) — finite, and sliced away on unpack."""
+    m = lims_batch.shape[1]
+    flat = lims_batch.astype(jnp.float32).reshape(B, 1, 2 * m)
+    return to_lanes(flat, B)[0]
+
+
 def _eval_costs_lanes(model, x_l, u_l, par_l):
     """Per-step costs of a lane-layout trajectory, evaluated with the
     model's lane functions outside the kernel (pre-rolled init only)."""
@@ -146,11 +169,18 @@ def ilqg_batch_lanes(model, packed_derivs, x0s, u0s,
     """Public entry — see :func:`_ilqg_batch_lanes_jit` for the full docs.
     Fills ``max_steps`` (always passed as a traced scalar) OUTSIDE the jit
     boundary, so bounded fleet-scheduler chunks and plain unbounded solves
-    with the same cfg share one compiled program."""
+    with the same cfg share one compiled program.
+
+    ``lims`` may be a static ``((lo, hi),)*m`` tuple (fleet-wide limits,
+    folded into the kernels) or a PER-SCENARIO array (B, m, 2) — the
+    reference takes lims as runtime data (``src/iLQG.jl:124``), so
+    heterogeneous actuator bounds ride a traced lane input and stay on
+    this fast path in one compile."""
+    lims, lims_batch = split_lims(lims)
     if max_steps is None:
         max_steps = cfg.cap() - 1
     return _ilqg_batch_lanes_jit(model, packed_derivs, x0s, u0s,
-                                 lims=lims, cfg=cfg,
+                                 lims=lims, lims_batch=lims_batch, cfg=cfg,
                                  derivs_tiles=derivs_tiles, params=params,
                                  cost0=cost0, warm_start=warm_start,
                                  lam0=lam0, dlam0=dlam0,
@@ -172,6 +202,7 @@ def _ilqg_batch_lanes_jit(model: LanesModel,
                      x0s: jax.Array,
                      u0s: jax.Array,
                      lims: Optional[Tuple[Tuple[float, float], ...]] = None,
+                     lims_batch: Optional[jax.Array] = None,
                      cfg: ILQGConfig = ILQGConfig(),
                      derivs_tiles: Optional[Callable] = None,
                      params: Optional[jax.Array] = None,
@@ -214,7 +245,11 @@ def _ilqg_batch_lanes_jit(model: LanesModel,
     - ``params``: optional per-scenario dynamics/cost parameters (B, P) for
       heterogeneous fleets (requires a parametrized ``model``/
       ``derivs_tiles`` with ``n_params == P``).
-    - ``lims``: static ``((lo, hi),) * m`` or None.
+    - ``lims``: static ``((lo, hi),) * m`` or None; ``lims_batch``:
+      per-scenario (B, m, 2) limits as a traced input (heterogeneous
+      actuator bounds, one compile — reference runtime-data lims,
+      ``src/iLQG.jl:124``). The public wrapper sorts a user ``lims`` into
+      the right one (:func:`split_lims`).
 
     Per-iteration introspection: the reference fires a ``plotFn`` host
     callback every iteration (``src/iLQG.jl:160,330``); a per-element host
@@ -272,11 +307,13 @@ def _ilqg_batch_lanes_jit(model: LanesModel,
         par_l = to_lanes(pf[:, None, :], Bp)[0]
     else:
         par_l = None
+    lims_l = pack_lims(lims_batch, B) if lims_batch is not None else None
     # lanes beyond B are layout padding: never let them drive control flow
     lane_valid = (jnp.arange(Bp) < B).reshape(Bp // 1024, 8, 128)
 
     def run_fwd(traj, gains, al, gk, gK, emit, g_slots=None):
-        return forward_lanes(traj, gains, x0_l, al, par_l, model=model,
+        return forward_lanes(traj, gains, x0_l, al, par_l, lims_l,
+                             model=model,
                              lims=lims, gk=gk, gK=gK, g_slots=g_slots,
                              emit_traj=emit, k_t=kt_forward,
                              interpret=interpret)
@@ -285,7 +322,8 @@ def _ilqg_batch_lanes_jit(model: LanesModel,
         return backward_lanes(traj_or_dp, lam, n=n, m=m,
                               reg_type=cfg.reg_type, lims=lims,
                               k_t=kt_backward, derivs_tiles=derivs_tiles,
-                              params=par_l, emit=emit, interpret=interpret)
+                              params=par_l, lims_lanes=lims_l, emit=emit,
+                              interpret=interpret)
 
     if pre_rolled:
         # trust the supplied trajectory verbatim (src/iLQG.jl:193-197) —
@@ -608,9 +646,14 @@ def ilqg_iteration_lanes(model: LanesModel,
     """Build a jittable single-iteration step function on lane-layout state
     — the per-step hot path of an MPC loop (and of ``bench.py``). Returns
     ``step(traj, cost_tot, lam) -> (traj, cost_tot, lam)`` where ``traj`` is
-    the (T, n+m+1, nB, 8, 128) trajectory stream."""
+    the (T, n+m+1, nB, 8, 128) trajectory stream. ``lims`` may be static
+    ``((lo, hi),)*m`` or per-scenario (B, m, 2) (packed once here and
+    closed over)."""
     assert derivs_tiles is not None or packed_derivs is not None
     n, m = model.n, model.m
+    lims, lims_batch = split_lims(lims)
+    lims_l = (pack_lims(lims_batch, lims_batch.shape[0])
+              if lims_batch is not None else None)
     lay = OutLayout(n, m)
     alphas = jnp.asarray(cfg.alphas, jnp.float32)
     A = alphas.shape[0]
@@ -626,13 +669,14 @@ def ilqg_iteration_lanes(model: LanesModel,
         # on the output stream (see OutLayout)
         res = backward_lanes(bwd_in, lam, n=n, m=m, reg_type=cfg.reg_type,
                              lims=lims, k_t=kt_backward,
-                             derivs_tiles=derivs_tiles, emit="gains",
-                             interpret=interpret)
+                             derivs_tiles=derivs_tiles, lims_lanes=lims_l,
+                             emit="gains", interpret=interpret)
         bo = res.out
         dV1, dV2 = res.stats[0], res.stats[1]
         bad = res.stats[2] > 0.5
         al_all = jnp.broadcast_to(alphas.reshape(A, 1, 1, 1), (A,) + L)
-        fa = forward_lanes(traj, bo, x0_l, al_all, model=model, lims=lims,
+        fa = forward_lanes(traj, bo, x0_l, al_all, None, lims_l,
+                           model=model, lims=lims,
                            gk=lay.k, gK=lay.K, g_slots=g_sl, k_t=kt_forward,
                            interpret=interpret)
         dcost = cost_tot[None] - fa.totals
@@ -648,7 +692,8 @@ def ilqg_iteration_lanes(model: LanesModel,
         # trajectory bit-exactly — no accept-select on the stream (the
         # caller's traj must come from forward_lanes, as in MPC loops)
         al_eff = jnp.where(accept, al_sel, 0.0)
-        fb = forward_lanes(traj, bo, x0_l, al_eff[None], model=model,
+        fb = forward_lanes(traj, bo, x0_l, al_eff[None], None, lims_l,
+                           model=model,
                            lims=lims, gk=lay.k, gK=lay.K, g_slots=g_sl,
                            emit_traj=True, k_t=kt_forward,
                            interpret=interpret)

@@ -139,6 +139,15 @@ class BatchKLResult(NamedTuple):
     pd_failed: jax.Array = None  # (B,) a Σ went indefinite in the KL
     #                              measurement (Julia logdet DomainError
     #                              analogue); the lane aborted, not satisfied
+    # resume state (the η-dual optimizer's internals) — feed back via
+    # bracket0/delta0_in/adam0_in to continue the solve as if uninterrupted
+    # (the KL-tier fleet scheduler's compaction entry, solvers/fleet.py)
+    bracket: jax.Array = None    # (B, 3) scalar-η / (B, 3, T) per-step
+    delta: jax.Array = None      # (B,) / (B, T) η-escalation increment
+    adam: jax.Array = None       # (B, 2, T) per-step mode; zeros otherwise
+    done: jax.Array = None       # (B,) lane terminated (satisfied, η maxed,
+    #                              aborted or PD-failed) vs merely hitting
+    #                              this call's max_steps chunk bound
     trace: Optional[BatchKLTrace] = None   # with record_trace=True
 
 
@@ -167,10 +176,6 @@ class _Carry(NamedTuple):
     trace: Optional[BatchKLTrace]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("model", "derivs_tiles", "lims", "cfg", "r1",
-                     "kt", "record_trace", "interpret"))
 def ilqgkl_batch_lanes(model: LanesModel,
                        derivs_tiles: Callable,
                        x0s: jax.Array,
@@ -183,10 +188,60 @@ def ilqgkl_batch_lanes(model: LanesModel,
                        kt: int = 16,
                        record_trace: bool = False,
                        interpret: bool = False) -> BatchKLResult:
+    """Public entry — see :func:`_ilqgkl_batch_lanes_jit`. Sorts ``lims``
+    into the static tuple / per-scenario (B, m, 2) traced input
+    (:func:`~.batch.split_lims`) and fills the traced loop bound outside
+    the jit boundary (fleet-scheduler chunks and plain solves with the same
+    cfg share one compiled program)."""
+    from .batch import split_lims
+    lims, lims_batch = split_lims(lims)
+    return _ilqgkl_batch_lanes_jit(model, derivs_tiles, x0s, traj_prev,
+                                   fx_model, cost0, lims=lims,
+                                   lims_batch=lims_batch, cfg=cfg, r1=r1,
+                                   kt=kt,
+                                   max_steps=jnp.int32(cfg.max_iter),
+                                   it0=jnp.zeros((), jnp.int32),
+                                   record_trace=record_trace,
+                                   interpret=interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "derivs_tiles", "lims", "cfg", "r1",
+                     "kt", "record_trace", "interpret"))
+def _ilqgkl_batch_lanes_jit(model: LanesModel,
+                       derivs_tiles: Callable,
+                       x0s: jax.Array,
+                       traj_prev: GaussianPolicy,
+                       fx_model: jax.Array,
+                       cost0: jax.Array,
+                       lims: Optional[Tuple] = None,
+                       lims_batch: Optional[jax.Array] = None,
+                       cfg: ILQGKLConfig = ILQGKLConfig(),
+                       r1: Optional[Tuple] = None,
+                       kt: int = 16,
+                       bracket0: Optional[jax.Array] = None,
+                       delta0_in: Optional[jax.Array] = None,
+                       adam0_in: Optional[jax.Array] = None,
+                       it0: Optional[jax.Array] = None,
+                       max_steps: Optional[jax.Array] = None,
+                       record_trace: bool = False,
+                       interpret: bool = False) -> BatchKLResult:
     """KL-constrained solve for B scenarios. ``cfg.constrain_per_step``
     selects the per-timestep-η variant (duals updated by ADAM in log space,
     reference ``src/iLQGkl.jl:185-236``); otherwise the scalar-η bracketing
     branch (``src/iLQGkl.jl:93-181``).
+
+    Resume entry (the KL-tier fleet scheduler, :mod:`.fleet`):
+    ``bracket0`` (B, 3) / (B, 3, T), ``delta0_in`` (B,) / (B, T) and
+    ``adam0_in`` (B, 2, T) restore the η-dual optimizer's state from a
+    prior :class:`BatchKLResult`; ``it0`` (traced scalar) is the global
+    iteration count already executed (lock-step lanes advance together, so
+    all unfinished lanes share it — it also keeps the per-step ADAM's bias
+    correction ``t`` consistent); ``max_steps`` (traced scalar) bounds this
+    call's loop trips without changing the compiled program. The
+    composition of chunked calls is semantically ONE uninterrupted solve
+    per scenario (bit-identical: the η updates are elementwise per lane).
 
     - ``x0s``: pre-rolled trajectories (B, T, n) (mandatory, as in the
       reference ``src/iLQGkl.jl:65-72``); nominal controls = traj_prev.k.
@@ -234,17 +289,38 @@ def ilqgkl_batch_lanes(model: LanesModel,
 
     kl_step = jnp.asarray(cfg.kl_step, f32)
     per_step = bool(cfg.constrain_per_step)
+
+    def _slot_lanes(a):
+        """(B, s, T) batch-major resume leaf → (s, T) + L lane layout."""
+        return jnp.swapaxes(
+            to_lanes(jnp.moveaxis(a.astype(f32), 1, 2), B), 0, 1)
+
     if per_step:
-        br0 = jnp.stack([jnp.full((T,) + L, v, f32)
-                         for v in cfg.eta_bracket])
+        br0 = (_slot_lanes(bracket0) if bracket0 is not None
+               else jnp.stack([jnp.full((T,) + L, v, f32)
+                               for v in cfg.eta_bracket]))
+        # per-step escalation increments RESET each outer iteration
+        # (src/iLQGkl.jl:189), so a resumed chunk starts from del0 like
+        # every lock-step iteration does — delta0_in is ignored here
         delta0 = jnp.full((T,) + L, cfg.del0, f32)
-        adam0 = jnp.zeros((2, T) + L, f32)
+        adam0 = (_slot_lanes(adam0_in) if adam0_in is not None
+                 else jnp.zeros((2, T) + L, f32))
     else:
-        br0 = jnp.stack([jnp.full(L, v, f32) for v in cfg.eta_bracket])
-        delta0 = jnp.full(L, cfg.del0, f32)
+        from ..ops.pallas.pack import vec_to_lanes
+        br0 = (jnp.stack([vec_to_lanes(bracket0.astype(f32)[:, i])
+                          for i in range(3)])
+               if bracket0 is not None
+               else jnp.stack([jnp.full(L, v, f32)
+                               for v in cfg.eta_bracket]))
+        delta0 = (vec_to_lanes(delta0_in.astype(f32))
+                  if delta0_in is not None
+                  else jnp.full(L, cfg.del0, f32))
         adam0 = None
     tot0 = to_lanes(cost0.astype(f32)[:, None, None], B)[0, 0]
     one_l = jnp.ones((1,) + L, f32)
+
+    from .batch import pack_lims
+    lims_l = pack_lims(lims_batch, B) if lims_batch is not None else None
 
     def run_bwd(eta_mid):
         if per_step:
@@ -254,7 +330,8 @@ def ilqgkl_batch_lanes(model: LanesModel,
         return backward_lanes(traj, jnp.zeros(L, f32), n=n, m=m,
                               reg_type=1, lims=lims, k_t=kt,
                               derivs_tiles=derivs_tiles,
-                              prev=prev, eta=eta_s, emit="policy",
+                              prev=prev, eta=eta_s, lims_lanes=lims_l,
+                              emit="policy",
                               interpret=interpret)
 
     cap = cfg.max_iter + 1
@@ -265,6 +342,13 @@ def ilqgkl_batch_lanes(model: LanesModel,
     else:
         trace0 = None
 
+    it0_s = (jnp.zeros((), jnp.int32) if it0 is None
+             else jnp.asarray(it0, jnp.int32))
+    cap_rt = jnp.minimum(
+        it0_s + (jnp.asarray(max_steps, jnp.int32)
+                 if max_steps is not None else cfg.max_iter),
+        cfg.max_iter)
+
     carry0 = _Carry(
         bracket=br0, delta=delta0,
         traj_new=traj, tot_new=tot0,
@@ -273,11 +357,11 @@ def ilqgkl_batch_lanes(model: LanesModel,
         satisfied=jnp.zeros(L, bool),
         pd_bad=jnp.zeros(L, bool),
         done=jnp.zeros(L, bool),
-        it=jnp.ones((), jnp.int32), it_lane=jnp.zeros(L, jnp.int32),
+        it=it0_s + 1, it_lane=jnp.zeros(L, jnp.int32),
         adam=adam0, trace=trace0)
 
     def loop_cond(c: _Carry):
-        return (~jnp.all(c.done)) & (c.it <= cfg.max_iter)
+        return (~jnp.all(c.done)) & (c.it <= cap_rt)
 
     def loop_body(c: _Carry) -> _Carry:
         active = ~c.done
@@ -317,7 +401,8 @@ def ilqgkl_batch_lanes(model: LanesModel,
         bo = res.out
 
         # full-step forward pass (α = 1, src/iLQGkl.jl:134)
-        fb = forward_lanes(traj, bo, x0_l, one_l, model=model, lims=lims,
+        fb = forward_lanes(traj, bo, x0_l, one_l, None, lims_l,
+                           model=model, lims=lims,
                            gk=lay.k, gK=lay.K, g_slots=lay.K + m * n,
                            emit_traj=True, k_t=kt, interpret=interpret)
 
@@ -441,6 +526,21 @@ def ilqgkl_batch_lanes(model: LanesModel,
         jnp.abs(div - float(cfg.kl_step)) > 0.1 * float(cfg.kl_step))
     eta_fin = (jnp.mean(c.bracket[1], axis=0) if per_step
                else c.bracket[1])
+
+    def _slot_major(a):
+        """(s, T) + L or (s,) + L lane leaf → (B, s[, T]) batch-major."""
+        s = a.shape[0]
+        return jnp.moveaxis(a.reshape((s, -1) if a.ndim == 4
+                                      else (s, T, -1))[..., :B], -1, 0)
+
+    if per_step:
+        bracket_bm = _slot_major(c.bracket)          # (B, 3, T)
+        delta_bm = _slot_major(c.delta[None])[:, 0]  # (B, T)
+        adam_bm = _slot_major(c.adam)                # (B, 2, T)
+    else:
+        bracket_bm = _slot_major(c.bracket)          # (B, 3)
+        delta_bm = vec_from_lanes(c.delta, B)        # (B,)
+        adam_bm = jnp.zeros((B,), jnp.float32)
     return BatchKLResult(
         x=x, u=u, policy=policy, cost=cost,
         cost_total=vec_from_lanes(c.tot_new, B),
@@ -450,5 +550,7 @@ def ilqgkl_batch_lanes(model: LanesModel,
         kl_violated=kl_violated,
         n_iters=vec_from_lanes(c.it_lane, B),
         pd_failed=vec_from_lanes(c.pd_bad, B),
+        bracket=bracket_bm, delta=delta_bm, adam=adam_bm,
+        done=vec_from_lanes(c.done, B),
         trace=(BatchKLTrace(*[jnp.transpose(f.reshape(cap, -1)[:, :B])
                               for f in c.trace]) if record_trace else None))

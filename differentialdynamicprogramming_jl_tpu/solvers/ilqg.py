@@ -113,6 +113,9 @@ class ILQGResult(NamedTuple):
     reason: jax.Array         # exit reason code (see module docstring)
     lam: jax.Array
     g_norm: jax.Array
+    dlam: jax.Array = None    # λ-schedule rate — with lam/n_accepted, the
+    #                           resume state (feed back via lam0/dlam0/
+    #                           accepted0 to continue as one solve)
 
 
 class _Carry(NamedTuple):
@@ -195,11 +198,21 @@ def ilqg(problem: Problem, x0: jax.Array, u0: jax.Array,
          lims: Optional[jax.Array] = None,
          cfg: ILQGConfig = ILQGConfig(),
          cost0: Optional[jax.Array] = None,
+         lam0: Optional[jax.Array] = None,
+         dlam0: Optional[jax.Array] = None,
+         accepted0: Optional[jax.Array] = None,
          iter_callback=None) -> ILQGResult:
     """Solve the optimal control problem from initial state ``x0`` (shape
     ``(n,)`` — initial rollout performed, ``src/iLQG.jl:181-192``) or from a
     pre-rolled trajectory ``x0`` of shape ``(T, n)`` with optional per-step
     ``cost0`` (``src/iLQG.jl:193-197``). ``u0``: initial controls ``(T, m)``.
+
+    ``lam0``/``dlam0``/``accepted0``: optional scalar initial λ / dλ /
+    accepted-iteration counters — the RESUME entry (same contract as the
+    lane tier's, :func:`~.batch.ilqg_batch_lanes`): a solve continued from
+    a prior :class:`ILQGResult` (pre-rolled ``x0`` + these three) behaves
+    like one uninterrupted solve (λ schedule and iteration budget carry
+    over — reference warm-start semantics, ``src/iLQG.jl:85-87,193-197``).
 
     ``iter_callback``: optional host callback — the reference's per-iteration
     ``plotFn`` hook (``src/iLQG.jl:160,330``) — invoked each iteration as
@@ -212,13 +225,14 @@ def ilqg(problem: Problem, x0: jax.Array, u0: jax.Array,
     pre_rolled = x0.ndim == 2
     x0 = jnp.asarray(x0, u0.dtype)
     return _ilqg_impl(problem, x0, u0, lims, cfg, cost0, pre_rolled,
-                      iter_callback)
+                      lam0, dlam0, accepted0, iter_callback)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("problem", "cfg", "pre_rolled",
                                     "iter_callback"))
 def _ilqg_impl(problem, x0, u0, lims, cfg, cost0, pre_rolled,
+               lam0=None, dlam0=None, accepted0=None,
                iter_callback=None):
     T, m = u0.shape
     n = x0.shape[-1]
@@ -250,18 +264,24 @@ def _ilqg_impl(problem, x0, u0, lims, cfg, cost0, pre_rolled,
 
     derivs0 = derivs_fn(x_init, u_init)
     policy0 = GaussianPolicy.zeros(T, n, m, dtype)
+    lam_init = (jnp.asarray(lam0, dtype) if lam0 is not None
+                else jnp.asarray(cfg.lam, dtype))
+    dlam_init = (jnp.asarray(dlam0, dtype) if dlam0 is not None
+                 else jnp.asarray(cfg.dlam, dtype))
+    acc_init = (jnp.asarray(accepted0, jnp.int32) + 1
+                if accepted0 is not None else jnp.ones((), jnp.int32))
     trace0 = Trace.zeros(cap, dtype)
-    trace0 = _write_trace(trace0, 0, cap, lam=jnp.asarray(cfg.lam, dtype),
-                          dlam=jnp.asarray(cfg.dlam, dtype),
+    trace0 = _write_trace(trace0, 0, cap, lam=lam_init,
+                          dlam=dlam_init,
                           cost=jnp.sum(cost_init))
 
     carry0 = _Carry(
         x=x_init, u=u_init, cost=cost_init, derivs=derivs0,
         flg_change=jnp.ones((), bool),
-        lam=jnp.asarray(cfg.lam, dtype), dlam=jnp.asarray(cfg.dlam, dtype),
+        lam=lam_init, dlam=dlam_init,
         policy=policy0, Vx=jnp.zeros((T, n), dtype),
         Vxx=jnp.zeros((T, n, n), dtype),
-        it=jnp.ones((), jnp.int32), accepted=jnp.ones((), jnp.int32),
+        it=jnp.ones((), jnp.int32), accepted=acc_init,
         done=~init_ok,
         reason=jnp.where(init_ok, 0, 5).astype(jnp.int32),
         trace=trace0, g_norm=jnp.zeros((), dtype),
@@ -368,4 +388,4 @@ def _ilqg_impl(problem, x0, u0, lims, cfg, cost0, pre_rolled,
     return ILQGResult(
         x=c.x, u=c.u, policy=c.policy, Vx=c.Vx, Vxx=c.Vxx, cost=c.cost,
         trace=c.trace, n_iters=c.it - 1, n_accepted=c.accepted - 1,
-        reason=reason, lam=c.lam, g_norm=c.g_norm)
+        reason=reason, lam=c.lam, g_norm=c.g_norm, dlam=c.dlam)

@@ -242,30 +242,34 @@ def grad_kl_np(Kp, kp, Sip):
 
 def back_pass_gps_np(derivs, u, eta, lims, kl):
     """back_pass_gps (src/backward_pass.jl:259-350): Q terms scaled 1/η and
-    augmented with the KL expansion; no λ; Σ=Quu⁻¹, Σi=Quu."""
+    augmented with the KL expansion; no λ; Σ=Quu⁻¹, Σi=Quu. ``eta`` may be
+    a scalar or a per-timestep (T,) vector (the reference's η::Vector
+    overload used by the constrain_per_step branch)."""
     fx, fu, cx, cu, cxx, cxu, cuu = derivs
     cxkl, cukl, cxxkl, cxukl, cuukl = kl
     T, m = u.shape
     n = cx.shape[1]
+    eta_t = (lambda i: eta[i]) if np.ndim(eta) else (lambda i: eta)
     k = np.zeros((T, m)); K = np.zeros((T, m, n))
     Vx = np.zeros((T, n)); Vxx = np.zeros((T, n, n))
     Quu_all = np.zeros((T, m, m)); Quui_all = np.zeros((T, m, m))
     dV = np.zeros(2)
     Vx[T - 1] = cx[T - 1]
     Vxx[T - 1] = cxx[T - 1]
-    Quu_all[T - 1] = cuu[T - 1] / eta + cuukl[T - 1]
+    Quu_all[T - 1] = cuu[T - 1] / eta_t(T - 1) + cuukl[T - 1]
     Quui_all[T - 1] = np.linalg.inv(Quu_all[T - 1])
     for i in range(T - 2, -1, -1):
+        eta_i = eta_t(i)
         Qu = cu[i] + fu[i].T @ Vx[i + 1]
         Qx = cx[i] + fx[i].T @ Vx[i + 1]
         Qux = cxu[i].T + fu[i].T @ Vxx[i + 1] @ fx[i]
         Quu = cuu[i] + fu[i].T @ Vxx[i + 1] @ fu[i]
         Qxx = cxx[i] + fx[i].T @ Vxx[i + 1] @ fx[i]
-        Qu = Qu / eta + cukl[i]
-        Qux = Qux / eta + cxukl[i]
-        Quu = Quu / eta + cuukl[i]
-        Qx = Qx / eta + cxkl[i]
-        Qxx = Qxx / eta + cxxkl[i]
+        Qu = Qu / eta_i + cukl[i]
+        Qux = Qux / eta_i + cxukl[i]
+        Quu = Quu / eta_i + cuukl[i]
+        Qx = Qx / eta_i + cxkl[i]
+        Qxx = Qxx / eta_i + cxxkl[i]
         Quu = 0.5 * (Quu + Quu.T)
         if lims is None:
             try:
@@ -384,3 +388,63 @@ def ilqgkl_np(dyn, traj_cost, derivs_fn, x, traj_prev, cost0, fx_model, R1,
     # unconditional acceptance (src/iLQGkl.jl:239-241)
     return dict(x=xnew, u=unew, cost=costnew, eta=eb[1], bracket=eb,
                 divergence=divergence, satisfied=satisfied, iters=it)
+
+
+def ilqgkl_perstep_np(dyn, traj_cost, derivs_fn, x, traj_prev, cost0,
+                      fx_model, R1, kl_step=1.0, max_iter=50,
+                      eta_bracket=(1e-8, 1.0, 1e16), del0=1e-4,
+                      gd_alpha=0.005, lims=None):
+    """Per-timestep-η iLQGkl (the reference ``constrain_per_step`` branch,
+    src/iLQGkl.jl:185-236): η is a (T,) dual vector updated by ADAM in log
+    space (src/klutils.jl:186-210) against the per-step constraint
+    violation; the η-inflation retry escalates only the diverged timestep
+    and its increments reset each outer iteration (src/iLQGkl.jl:189)."""
+    kp_orig = traj_prev["k"].copy()
+    u = kp_orig.copy()
+    T, m = u.shape
+    kp = np.zeros_like(u)                          # src/iLQGkl.jl:51-52
+    Kp, Sp, Sip = traj_prev["K"], traj_prev["sigma"], traj_prev["sigma_inv"]
+    kl = grad_kl_np(Kp, kp, Sip)
+    derivs = derivs_fn(x, u)                       # once (src/iLQGkl.jl:88)
+    lo = np.full(T, eta_bracket[0])
+    eta = np.full(T, eta_bracket[1])
+    hi = np.full(T, eta_bracket[2])
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    m_a = np.zeros(T); v_a = np.zeros(T)
+    xnew = unew = costnew = None
+    div_t = np.zeros(T)
+    satisfied = False
+    it = 0
+    for it in range(1, max_iter + 1):
+        delta = np.full(T, del0)                   # reset (src/iLQGkl.jl:189)
+        while True:                                # per-step η retry
+            div, pol, Vx, Vxx, dV = back_pass_gps_np(derivs, u, eta,
+                                                     lims, kl)
+            if div == 0:
+                break
+            d = div - 1                            # 1-based diverge index
+            eta[d] += delta[d]                     # src/iLQGkl.jl:194-196
+            delta[d] *= 2.0
+            assert not np.all(eta > 0.999 * hi), "η escalation exhausted"
+        k, K, Quu, Quui = pol
+        xnew, unew, costnew = forward_np(dyn, traj_cost, x[0], u, x, 1.0,
+                                         (k, K), lims)
+        Snew = forward_cov_np(fx_model, R1, K, Quui)
+        kn = k + kp                                # src/iLQGkl.jl:207
+        div_t = kl_div_wiki_np(xnew, x, Snew, kn, K, Quui, kp, Kp, Sp, Sip)
+        violation = div_t - kl_step                # (T,)
+        g = -violation                             # src/iLQGkl.jl:213-218
+        m_a = b1 * m_a + (1 - b1) * g
+        v_a = b2 * v_a + (1 - b2) * g * g
+        m_hat = m_a / (1 - b1 ** it)
+        v_hat = v_a / (1 - b2 ** it)
+        eta = np.exp(np.log(eta) - gd_alpha * m_hat / (np.sqrt(v_hat)
+                                                       + eps))
+        eta = np.clip(eta, lo, hi)
+        if (np.all(div_t < 2.0 * kl_step)
+                and np.mean(violation) < 0.1 * kl_step):
+            satisfied = True
+            break
+    # unconditional acceptance (src/iLQGkl.jl:239-241)
+    return dict(x=xnew, u=unew, cost=costnew, eta=eta,
+                divergence=div_t, satisfied=satisfied, iters=it)

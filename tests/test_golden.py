@@ -120,3 +120,55 @@ def test_ilqgkl_golden(golden):
                                golden["ilqgkl_divergence"], rtol=1e-8)
     assert int(res.n_iters) == int(golden["ilqgkl_iters"])
     assert bool(res.satisfied) == bool(golden["ilqgkl_satisfied"])
+
+
+def test_ilqgkl_perstep_golden(golden):
+    """Per-timestep-η ADAM branch (reference ``constrain_per_step``,
+    ``src/iLQGkl.jl:185-236``) reproduces the oracle's cost, mean η/KL and
+    iteration count on the LTI T=60 case — regression anchor for the
+    round-3 dual-update surface."""
+    from differentialdynamicprogramming_jl_tpu import (
+        ilqg_kl, ILQGKLConfig, GaussianPolicy, forward_pass)
+    from differentialdynamicprogramming_jl_tpu.models.linear import (
+        random_lti, make_lti_problem, SimpleLTVModel)
+    T, n, m = 60, 4, 2
+    spec = random_lti(jax.random.PRNGKey(0), n=n, m=m, T=T,
+                      dtype=jnp.float64)
+    prob = make_lti_problem(spec, T)
+    model = SimpleLTVModel.from_lti(spec.A, spec.B, T)
+    ro = forward_pass(prob, spec.x0, spec.u0)
+    traj = GaussianPolicy.zeros(T, n, m, jnp.float64)._replace(k=ro.u)
+    res = ilqg_kl(prob, ro.x, traj, model, ro.cost,
+                  cfg=ILQGKLConfig(kl_step=1e-5, max_iter=15,
+                                   constrain_per_step=True, gd_alpha=0.3))
+    np.testing.assert_allclose(float(jnp.sum(res.cost)),
+                               golden["ilqgkl_ps_cost"], rtol=1e-9)
+    np.testing.assert_allclose(float(jnp.mean(res.eta)),
+                               golden["ilqgkl_ps_eta_mean"], rtol=1e-8)
+    np.testing.assert_allclose(float(jnp.mean(res.divergence)),
+                               golden["ilqgkl_ps_div_mean"], rtol=1e-7)
+    assert int(res.n_iters) == int(golden["ilqgkl_ps_iters"])
+    assert bool(res.satisfied) == bool(golden["ilqgkl_ps_satisfied"])
+
+
+def test_quadrotor_golden(golden):
+    """Planar-quadrotor hover (the autodiff-tiles benchmark family,
+    models/quadrotor.py) vs the oracle with hand-derived Jacobians —
+    regression anchor for the round-3 model addition."""
+    from differentialdynamicprogramming_jl_tpu.models.quadrotor import (
+        QuadrotorSpec, make_quadrotor_problem, default_x0)
+    from differentialdynamicprogramming_jl_tpu.solvers.ilqg import (
+        ilqg, ILQGConfig, default_alphas)
+    spec = QuadrotorSpec()
+    prob = make_quadrotor_problem(spec, dtype=jnp.float64)
+    cfg = ILQGConfig(alphas=default_alphas(0.2, -3.0, 6), reg_type=2,
+                     lam_max=1e15, max_iter=200)
+    res = ilqg(prob, default_x0(jnp.float64),
+               jnp.full((150, 2), spec.u_hover, jnp.float64),
+               lims=jnp.asarray(spec.lims, jnp.float64), cfg=cfg)
+    np.testing.assert_allclose(float(jnp.sum(res.cost)),
+                               golden["quadrotor_cost"], rtol=1e-6)
+    np.testing.assert_allclose(float(jnp.sum(jnp.abs(res.u))),
+                               golden["quadrotor_u_abs"], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(res.x[-1]),
+                               golden["quadrotor_xT"], atol=1e-5)

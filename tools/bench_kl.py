@@ -113,6 +113,67 @@ def main():
                        f"{MAX_ITER}-iteration trust-region solves")
     print(json.dumps(out))
 
+    if "--fleet" in sys.argv:
+        fleet_bench(model, tiles, problem, ro, prev, d, cost0, base)
+
+
+def fleet_bench(model, tiles, problem, ro, prev, d, cost0, base):
+    """Straggler-compaction A/B on the KL tier: lock-step
+    `ilqgkl_batch_lanes` to convergence vs `ilqgkl_fleet` (VERDICT r3
+    item 4 — does per-lane η-bracketing iteration spread pay for chunked
+    compaction like the 2.0× LTI result on the iLQG tier?)."""
+    from differentialdynamicprogramming_jl_tpu.solvers.batch_kl import (
+        ilqgkl_batch_lanes)
+    from differentialdynamicprogramming_jl_tpu.solvers.fleet import (
+        ilqgkl_fleet)
+    from differentialdynamicprogramming_jl_tpu.solvers.ilqgkl import (
+        ILQGKLConfig)
+    # a tight trust region makes the η bisection iterate; per-scenario
+    # spread in the measured KL makes the counts heterogeneous
+    cfg = ILQGKLConfig(kl_step=0.5, max_iter=40)
+    args = (model, tiles, ro.x, prev, d.fx, cost0)
+
+    res = ilqgkl_batch_lanes(*args, cfg=cfg)          # compile + warm
+    iters = np.asarray(res.n_iters)
+    _fetch(res.cost_total)
+    lock = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        r = ilqgkl_batch_lanes(model, tiles, ro.x, prev, d.fx,
+                               cost0 + 0.0 * res.cost_total, cfg=cfg)
+        _fetch(r.cost_total)
+        lock = min(lock, time.perf_counter() - t0 - base)
+    print(json.dumps({
+        "kl_iters_median": float(np.median(iters)),
+        "kl_iters_p90": float(np.percentile(iters, 90)),
+        "kl_iters_max": int(iters.max()),
+        "kl_lockstep_ms": round(lock * 1e3, 1),
+        "kl_lockstep_solves_per_s": round(B / lock)}), flush=True)
+
+    for ci, gr in ((int(np.median(iters)), 8.0),
+                   (max(2, int(np.median(iters)) - 2), 4.0)):
+        fr = ilqgkl_fleet(*args, cfg=cfg, chunk_iters=ci,
+                          chunk_growth=gr)            # compile chunk sizes
+        _fetch(fr.cost_total)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fr = ilqgkl_fleet(*args, cfg=cfg, chunk_iters=ci,
+                              chunk_growth=gr)
+            _fetch(fr.cost_total)
+            best = min(best, time.perf_counter() - t0 - base)
+        agree = int(np.sum(np.isclose(np.asarray(fr.cost_total),
+                                      np.asarray(res.cost_total),
+                                      rtol=1e-6)))
+        print(json.dumps({f"kl_fleet_ci{ci}_g{gr:g}": {
+            "ms": round(best * 1e3, 1),
+            "solves_per_s": round(B / best),
+            "speedup_vs_lockstep": round(lock / best, 2),
+            "cost_agree": agree,
+            "eta_agree": int(np.sum(np.asarray(fr.eta)
+                                    == np.asarray(res.eta)))}}),
+            flush=True)
+
 
 if __name__ == "__main__":
     main()

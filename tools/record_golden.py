@@ -95,6 +95,55 @@ def pendcart_numpy(spec):
     return dyn, traj_cost, derivs_fn
 
 
+def quadrotor_numpy(spec):
+    """Planar birotor with analytic Jacobians (the framework's quadrotor
+    uses autodiff on both tiers — an independent hand-derived oracle)."""
+    m_, I_, arm = spec.mass, spec.inertia, spec.arm
+    g_, h = spec.g, spec.h
+    Q = np.array(spec.Q)
+    R = spec.R
+    goal = np.array(spec.goal)
+    uh = spec.u_hover
+
+    def dyn(x, u, i):
+        px, vx, pz, vz, th, om = x
+        thrust = u[0] + u[1]
+        s, c = np.sin(th), np.cos(th)
+        return np.array([px + h * vx, vx + h * (-thrust * s / m_),
+                         pz + h * vz, vz + h * (thrust * c / m_ - g_),
+                         th + h * om, om + h * arm * (u[0] - u[1]) / I_])
+
+    def traj_cost(xs, us):
+        dxs = xs - goal
+        c = (0.5 * np.sum(Q * dxs * dxs, axis=1)
+             + 0.5 * R * np.sum((us - uh) ** 2, axis=1))
+        dT = xs[-1] - goal
+        return np.concatenate([c, [0.5 * np.sum(Q * dT * dT)]])
+
+    def derivs_fn(xs, us):
+        Tl = us.shape[0]
+        fx = np.zeros((Tl, 6, 6))
+        fu = np.zeros((Tl, 6, 2))
+        for i in range(Tl):
+            th = xs[i, 4]
+            thrust = us[i, 0] + us[i, 1]
+            s, c = np.sin(th), np.cos(th)
+            J = np.zeros((6, 6))
+            J[0, 1] = J[2, 3] = J[4, 5] = 1.0
+            J[1, 4] = -thrust * c / m_
+            J[3, 4] = -thrust * s / m_
+            fx[i] = np.eye(6) + h * J
+            fu[i] = h * np.array([[0, 0], [-s / m_, -s / m_], [0, 0],
+                                  [c / m_, c / m_], [0, 0],
+                                  [arm / I_, -arm / I_]])
+        return (fx, fu, (xs - goal) * Q, (us - uh) * R,
+                np.broadcast_to(np.diag(Q), (Tl, 6, 6)),
+                np.zeros((Tl, 6, 2)),
+                np.broadcast_to(R * np.eye(2), (Tl, 2, 2)))
+
+    return dyn, traj_cost, derivs_fn
+
+
 def boxqp_cases():
     """Inputs chosen to land on distinct reference result codes
     (src/boxQP.jl:172-179)."""
@@ -186,6 +235,36 @@ def main():
     out["ilqgkl_divergence"] = kr["divergence"]
     out["ilqgkl_iters"] = kr["iters"]
     out["ilqgkl_satisfied"] = int(kr["satisfied"])
+
+    # ---- iLQGkl per-timestep-η ADAM branch (src/iLQGkl.jl:185-236),
+    #      same LTI setup as the scalar-η case
+    from oracle import ilqgkl_perstep_np
+    # kl_step well below the η=1 divergence so the ADAM dual loop actually
+    # iterates (a loose step is satisfied at iteration 1 — no anchor)
+    pr2 = ilqgkl_perstep_np(kdyn, ktc, kdfn, xs, tp, cost0, fxm,
+                            np.eye(nk), kl_step=1e-5, max_iter=15,
+                            gd_alpha=0.3)
+    out["ilqgkl_ps_cost"] = np.sum(pr2["cost"])
+    out["ilqgkl_ps_eta_mean"] = np.mean(pr2["eta"])
+    out["ilqgkl_ps_div_mean"] = np.mean(pr2["divergence"])
+    out["ilqgkl_ps_iters"] = pr2["iters"]
+    out["ilqgkl_ps_satisfied"] = int(pr2["satisfied"])
+
+    # ---- quadrotor hover (the round-3 autodiff-tiles family), thrust
+    #      limits active at rest
+    from differentialdynamicprogramming_jl_tpu.models.quadrotor import (
+        QuadrotorSpec)
+    qspec = QuadrotorSpec()
+    qdyn, qtc, qdfn = quadrotor_numpy(qspec)
+    qx0 = np.array([1.0, 0.0, 0.0, 0.0, 0.3, 0.0])
+    qr = ilqg_np(qdyn, qtc, qdfn, qx0,
+                 np.full((150, 2), qspec.u_hover),
+                 lims=np.array([[0.0, qspec.u_max]] * 2),
+                 alphas=10.0 ** np.linspace(0.2, -3, 6), reg_type=2,
+                 lam_max=1e15, max_iter=200)
+    out["quadrotor_cost"] = qr["cost"].sum()
+    out["quadrotor_u_abs"] = np.abs(qr["u"]).sum()
+    out["quadrotor_xT"] = qr["x"][-1]
 
     out["provenance_oracle"] = 1  # recorded from tests/oracle.py, not JAX
 
