@@ -67,11 +67,14 @@ class ForwardLanesOut(NamedTuple):
     totals: jax.Array           # (A, nB, 8, 128) total cost per α candidate
     traj: Optional[jax.Array]   # (T, n+m+1, nB, 8, 128): x, u, c — or None
     terminal: jax.Array         # (A, nB, 8, 128) terminal-cost component
+    echo: Optional[jax.Array] = None  # (T, n+m, ...) input x/u slots echoed
+    #                                   (emit_echo — see forward_lanes)
 
 
 def _make_kernel(model: LanesModel, T: int, K_T: int, A: int,
                  lims: Optional[Tuple[Tuple[float, float], ...]],
-                 gk: int, gK: int, emit_traj: bool, dyn_lims: bool = False):
+                 gk: int, gK: int, emit_traj: bool, dyn_lims: bool = False,
+                 emit_echo: bool = False):
     n, m = model.n, model.m
     P = model.n_params
     Tb = -(-T // K_T)
@@ -86,9 +89,14 @@ def _make_kernel(model: LanesModel, T: int, K_T: int, A: int,
         params_ref = rest.pop(0) if P else None
         lims_ref = rest.pop(0) if dyn_lims else None
         if emit_traj:
-            totals_ref, term_ref, out_ref, scr = rest
+            if emit_echo:
+                totals_ref, term_ref, out_ref, echo_ref, scr = rest
+            else:
+                totals_ref, term_ref, out_ref, scr = rest
+                echo_ref = None
         else:
             totals_ref, term_ref, scr = rest
+            echo_ref = None
         g = pl.program_id(1)
         if P:
             par = [params_ref[p, 0] for p in range(P)]
@@ -125,6 +133,17 @@ def _make_kernel(model: LanesModel, T: int, K_T: int, A: int,
             t_log = g * K_T + kk
             x_old = [traj_ref[kk, i, 0] for i in range(n)]
             u_nom = [traj_ref[kk, n + mi, 0] for mi in range(m)]
+            if echo_ref is not None:
+                # echo the INPUT x/u slots — the entry trajectory the
+                # driver's post-loop backward replay linearizes around.
+                # Landing it in a fresh kernel output (instead of rotating
+                # c.traj between carry positions) removes the per-iteration
+                # 2×41 MB carry copy (BASELINE.md while-loop copy audit);
+                # the values ride reads this kernel already does.
+                for i in range(n):
+                    echo_ref[kk, i, 0] = x_old[i]
+                for mi in range(m):
+                    echo_ref[kk, n + mi, 0] = u_nom[mi]
             k_t = [gains_ref[kk, gk + mi, 0] for mi in range(m)]
             K_t = [[gains_ref[kk, gK + mi * n + j, 0] for j in range(n)]
                    for mi in range(m)]
@@ -175,7 +194,7 @@ def _make_kernel(model: LanesModel, T: int, K_T: int, A: int,
 @functools.partial(
     jax.jit,
     static_argnames=("model", "lims", "gk", "gK", "g_slots", "emit_traj",
-                     "k_t", "interpret"))
+                     "emit_echo", "k_t", "interpret"))
 def forward_lanes(traj: jax.Array, gains: jax.Array, x0: jax.Array,
                   alphas: jax.Array,
                   params: Optional[jax.Array] = None,
@@ -185,6 +204,7 @@ def forward_lanes(traj: jax.Array, gains: jax.Array, x0: jax.Array,
                   gk: int = 0, gK: Optional[int] = None,
                   g_slots: Optional[int] = None,
                   emit_traj: bool = False,
+                  emit_echo: bool = False,
                   k_t: int = 8,
                   interpret: bool = False) -> ForwardLanesOut:
     """Run the forward kernel on lane-layout inputs.
@@ -206,21 +226,27 @@ def forward_lanes(traj: jax.Array, gains: jax.Array, x0: jax.Array,
       (2m, nB, 8, 128), slot order [lo_0, hi_0, ...] — overrides the static
       ``lims``; heterogeneous actuator bounds in one compile (the reference
       takes lims as runtime data, ``src/iLQG.jl:124``).
+    - ``emit_echo`` (with ``emit_traj``): additionally write the INPUT
+      trajectory's x/u slots to a second output — the entry-trajectory
+      record the batch driver's backward replay needs, produced as a fresh
+      kernel output instead of a carry-position rotation copy.
     """
     n, m = model.n, model.m
     T, nB = traj.shape[0], traj.shape[2]
     A = alphas.shape[0]
     dyn_lims = lims_lanes is not None
+    emit_echo = emit_echo and emit_traj
     if gK is None:
         gK = m
     if g_slots is None:
         g_slots = gains.shape[1]
     assert g_slots >= gK + m * n and g_slots >= gk + m
     k_t = clamp_k_t(k_t, T, (n + m) + g_slots
-                    + ((n + m + 1) if emit_traj else 0))
+                    + ((n + m + 1) if emit_traj else 0)
+                    + ((n + m) if emit_echo else 0))
     k_t = min(k_t, T)
     kernel, Tb, T_pad, n_scratch = _make_kernel(
-        model, T, k_t, A, lims, gk, gK, emit_traj, dyn_lims)
+        model, T, k_t, A, lims, gk, gK, emit_traj, dyn_lims, emit_echo)
     if T_pad != T:
         zpad = lambda a: jnp.concatenate(
             [a, jnp.zeros((T_pad - T,) + a.shape[1:], a.dtype)], axis=0)
@@ -240,6 +266,12 @@ def forward_lanes(traj: jax.Array, gains: jax.Array, x0: jax.Array,
             jax.ShapeDtypeStruct((T_pad, n + m + 1, nB) + tile, f32))
         out_specs.append(
             pl.BlockSpec((k_t, n + m + 1, 1) + tile, fwd,
+                         memory_space=pltpu.VMEM))
+    if emit_echo:
+        out_shape.append(
+            jax.ShapeDtypeStruct((T_pad, n + m, nB) + tile, f32))
+        out_specs.append(
+            pl.BlockSpec((k_t, n + m, 1) + tile, fwd,
                          memory_space=pltpu.VMEM))
 
     in_specs = [
@@ -271,6 +303,10 @@ def forward_lanes(traj: jax.Array, gains: jax.Array, x0: jax.Array,
         interpret=interpret,
     )(*inputs)
 
+    if emit_echo:
+        totals, term, out, echo = res
+        return ForwardLanesOut(totals=totals, traj=out[:T], terminal=term,
+                               echo=echo[:T])
     if emit_traj:
         totals, term, out = res
         return ForwardLanesOut(totals=totals, traj=out[:T], terminal=term)

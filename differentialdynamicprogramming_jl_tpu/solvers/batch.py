@@ -311,11 +311,12 @@ def _ilqg_batch_lanes_jit(model: LanesModel,
     # lanes beyond B are layout padding: never let them drive control flow
     lane_valid = (jnp.arange(Bp) < B).reshape(Bp // 1024, 8, 128)
 
-    def run_fwd(traj, gains, al, gk, gK, emit, g_slots=None):
+    def run_fwd(traj, gains, al, gk, gK, emit, g_slots=None, echo=False):
         return forward_lanes(traj, gains, x0_l, al, par_l, lims_l,
                              model=model,
                              lims=lims, gk=gk, gK=gK, g_slots=g_slots,
-                             emit_traj=emit, k_t=kt_forward,
+                             emit_traj=emit, emit_echo=echo,
+                             k_t=kt_forward,
                              interpret=interpret)
 
     def run_bwd(traj_or_dp, lam, emit="gains"):
@@ -470,9 +471,15 @@ def _ilqg_batch_lanes_jit(model: LanesModel,
         # (deterministic same-kernel arithmetic), so the accept-select on
         # the (T, n+m+1, lanes) stream is only needed for user-supplied
         # pre-rolled trajectories (which may be dynamics-inconsistent and
-        # must be kept verbatim on reject, src/iLQG.jl:193-197)
+        # must be kept verbatim on reject, src/iLQG.jl:193-197).
+        # echo=True: the kernel also emits its INPUT x/u slots (= the entry
+        # trajectory this iteration's backward linearized around) — a fresh
+        # output the traj_bwd carry position can take directly, instead of
+        # the position-to-position rotation copy (2×41 MB/iteration at the
+        # north star; BASELINE.md while-loop copy audit).
         al_eff = jnp.where(accept, al_sel, 0.0)
-        fb = run_fwd(c.traj, bo, al_eff[None], lay.k, lay.K, True, g_sl)
+        fb = run_fwd(c.traj, bo, al_eff[None], lay.k, lay.K, True, g_sl,
+                     echo=True)
 
         dcost_sel = jnp.take_along_axis(dcost, idx[None], axis=0)[0]
 
@@ -557,12 +564,15 @@ def _ilqg_batch_lanes_jit(model: LanesModel,
         # for done lanes the retry loop never touched their λ, so `lam`
         # equals c.lam there — traj_bwd/lam_used carried unconditionally
         # are exactly the inputs of the backward pass that just ran (the
-        # kernel computes every lane each iteration, done or not)
+        # kernel computes every lane each iteration, done or not).
+        # fb.echo == c.traj[:, :n+m] bit-exactly (the kernel echoes its
+        # input), delivered as a fresh kernel output rather than a carry
+        # rotation.
         return _Carry(
             traj=traj_n, bwd_in=bwd_in_n, cost_tot=tot_n,
             lam=jnp.where(active, lam_n, c.lam),
             dlam=jnp.where(active, dlam_n, c.dlam),
-            traj_bwd=c.traj[:, :n + m], lam_used=lam,
+            traj_bwd=fb.echo, lam_used=lam,
             done=done, reason=reason,
             accepted=accepted, it=c.it + 1,
             it_lane=jnp.where(active, c.it, c.it_lane),
