@@ -38,7 +38,8 @@ from ..policy import GaussianPolicy
 from ..ops.pallas.pack import (to_lanes, from_lanes, vec_to_lanes,
                                vec_from_lanes, padded_batch)
 from ..ops.pallas.backward_kernel import OutLayout, backward_lanes
-from ..ops.pallas.forward_kernel import LanesModel, forward_lanes
+from ..ops.pallas.forward_kernel import (LanesModel, forward_lanes,
+                                         linesearch_lanes)
 from .ilqg import ILQGConfig, tol_fun_effective
 
 
@@ -86,13 +87,13 @@ class _Carry(NamedTuple):
     dlam: jax.Array
     traj_bwd: jax.Array   # x/u slots (T, n+m, ...) of the trajectory the
     #                       LAST executed backward pass saw (= traj at
-    #                       iteration entry; done lanes frozen). Only n+m
-    #                       slots: the backward kernel never reads the cost
-    #                       row (in_slots = n+m), and this carry rotates —
-    #                       position buffers are fixed in XLA while loops,
-    #                       so the rotation costs a full copy per iteration
-    #                       (BASELINE.md copy audit); carry only what the
-    #                       replay consumes.
+    #                       iteration entry; done lanes frozen). Produced as
+    #                       the line-search kernel's ECHO output (a fresh
+    #                       value the carry position takes directly) — a
+    #                       c.traj→traj_bwd rotation would instead cost a
+    #                       full materializing copy per iteration, because
+    #                       position buffers are fixed in XLA while loops
+    #                       (BASELINE.md copy audit, round 4 A/B).
     lam_used: jax.Array   # post-retry λ that backward ran with — together
     #                       with traj_bwd this replays the final backward
     #                       outputs once after the loop (see below)
@@ -453,35 +454,30 @@ def _ilqg_batch_lanes_jit(model: LanesModel,
             jnp.abs(k_s) / (jnp.abs(u_cur) + 1.0), axis=1), axis=0)
         grad_conv = (g_norm < cfg.tol_grad) & (lam < 1e-5) & (~bp_bad)
 
-        # == STEP 3: line search, all α in one kernel pass
-        #    (src/iLQG.jl:264-283)
-        fa = run_fwd(c.traj, bo, al_all, lay.k, lay.K, False, g_sl)
-        dcost = c.cost_tot[None] - fa.totals                # (A, lanes)
-        expected = -alphas.reshape(A, 1, 1, 1) * (
-            dV1[None] + alphas.reshape(A, 1, 1, 1) * dV2[None])
-        ratio = jnp.where(expected > 0, dcost / expected, jnp.sign(dcost))
-        ok = ratio > cfg.reduce_ratio_min
-        any_ok = jnp.any(ok, axis=0)
-        idx = jnp.argmax(ok, axis=0)
-        al_sel = jnp.where(any_ok, alphas[idx], 0.0)
-        accept = any_ok & (~bp_bad) & (~grad_conv) & active
-
-        # phase B re-rolls with α=0 on non-accepted lanes: u = u_nom +
-        # K(x−x_old) retraces a kernel-produced trajectory bit-exactly
-        # (deterministic same-kernel arithmetic), so the accept-select on
-        # the (T, n+m+1, lanes) stream is only needed for user-supplied
-        # pre-rolled trajectories (which may be dynamics-inconsistent and
-        # must be kept verbatim on reject, src/iLQG.jl:193-197).
-        # echo=True: the kernel also emits its INPUT x/u slots (= the entry
-        # trajectory this iteration's backward linearized around) — a fresh
-        # output the traj_bwd carry position can take directly, instead of
-        # the position-to-position rotation copy (2×41 MB/iteration at the
-        # north star; BASELINE.md while-loop copy audit).
-        al_eff = jnp.where(accept, al_sel, 0.0)
-        fb = run_fwd(c.traj, bo, al_eff[None], lay.k, lay.K, True, g_sl,
-                     echo=True)
-
-        dcost_sel = jnp.take_along_axis(dcost, idx[None], axis=0)[0]
+        # == STEP 3: line search — FUSED kernel (src/iLQG.jl:264-283):
+        #    per-α totals, the accept decision (in VMEM at the pass
+        #    boundary), and the accepted-α re-roll in one launch. The
+        #    re-roll uses α=0 on non-accepted lanes: u = u_nom + K(x−x_old)
+        #    retraces a kernel-produced trajectory bit-exactly, so the
+        #    accept-select on the (T, n+m+1, lanes) stream is only needed
+        #    for user-supplied pre-rolled trajectories (which may be
+        #    dynamics-inconsistent and must be kept verbatim on reject,
+        #    src/iLQG.jl:193-197). The echo output carries the INPUT x/u
+        #    slots (= the entry trajectory this iteration's backward
+        #    linearized around) as a fresh kernel output the traj_bwd carry
+        #    position can take directly — no position-to-position rotation
+        #    copy (2×41 MB/iteration; BASELINE.md while-loop copy audit).
+        allow = (~bp_bad) & (~grad_conv) & active
+        sel = jnp.stack([dV1, dV2, c.cost_tot, allow.astype(f32)])
+        fb = linesearch_lanes(c.traj, bo, x0_l, sel, par_l, lims_l,
+                              model=model, alphas=cfg.alphas,
+                              reduce_ratio_min=cfg.reduce_ratio_min,
+                              lims=lims, gk=lay.k, gK=lay.K, g_slots=g_sl,
+                              k_t=kt_forward, interpret=interpret)
+        al_sel = fb.ls[0]
+        any_ok = fb.ls[1] > 0.5
+        dcost_sel = fb.ls[2]
+        accept = any_ok & allow
 
         # == STEP 4: accept / reject λ update (src/iLQG.jl:293-323)
         dlam_acc = jnp.minimum(dlam / cfg.lam_factor, 1.0 / cfg.lam_factor)
@@ -510,17 +506,17 @@ def _ilqg_batch_lanes_jit(model: LanesModel,
 
         if pre_rolled:
             traj_n = jnp.where(_bc(accept, c.traj), fb.traj, c.traj)
-            tot_n = jnp.where(accept, fb.totals[0], c.cost_tot)
+            tot_n = jnp.where(accept, fb.ls[4], c.cost_tot)
         else:
             traj_n = fb.traj
-            tot_n = fb.totals[0]
+            tot_n = fb.ls[4]
 
         accepted = c.accepted + accept.astype(jnp.int32)
         done = c.done | newly_done | (accepted > cfg.max_iter)
 
         if record_trace:
             ti = jnp.minimum(c.it, cap - 1)
-            ratio_sel = jnp.take_along_axis(ratio, idx[None], axis=0)[0]
+            ratio_sel = fb.ls[3]
             trace = BatchTrace(
                 cost=c.trace.cost.at[ti].set(tot_n),
                 lam=c.trace.lam.at[ti].set(lam_n),
@@ -684,31 +680,22 @@ def ilqg_iteration_lanes(model: LanesModel,
         bo = res.out
         dV1, dV2 = res.stats[0], res.stats[1]
         bad = res.stats[2] > 0.5
-        al_all = jnp.broadcast_to(alphas.reshape(A, 1, 1, 1), (A,) + L)
-        fa = forward_lanes(traj, bo, x0_l, al_all, None, lims_l,
-                           model=model, lims=lims,
-                           gk=lay.k, gK=lay.K, g_slots=g_sl, k_t=kt_forward,
-                           interpret=interpret)
-        dcost = cost_tot[None] - fa.totals
-        expected = -alphas.reshape(A, 1, 1, 1) * (
-            dV1[None] + alphas.reshape(A, 1, 1, 1) * dV2[None])
-        ratio = jnp.where(expected > 0, dcost / expected, jnp.sign(dcost))
-        ok = ratio > cfg.reduce_ratio_min
-        any_ok = jnp.any(ok, axis=0)
-        idx = jnp.argmax(ok, axis=0)
-        al_sel = jnp.where(any_ok, alphas[idx], 0.0)
-        accept = any_ok & (~bad)
-        # α=0 on rejected lanes retraces the (kernel-produced) input
-        # trajectory bit-exactly — no accept-select on the stream (the
-        # caller's traj must come from forward_lanes, as in MPC loops)
-        al_eff = jnp.where(accept, al_sel, 0.0)
-        fb = forward_lanes(traj, bo, x0_l, al_eff[None], None, lims_l,
-                           model=model,
-                           lims=lims, gk=lay.k, gK=lay.K, g_slots=g_sl,
-                           emit_traj=True, k_t=kt_forward,
-                           interpret=interpret)
+        # fused line search (per-α totals + in-VMEM accept + accepted-α
+        # re-roll in one launch); α=0 on rejected lanes retraces the
+        # (kernel-produced) input trajectory bit-exactly — no
+        # accept-select on the stream (the caller's traj must come from
+        # forward_lanes, as in MPC loops)
+        allow = ~bad
+        sel = jnp.stack([dV1, dV2, cost_tot, allow.astype(jnp.float32)])
+        fb = linesearch_lanes(traj, bo, x0_l, sel, None, lims_l,
+                              model=model, alphas=cfg.alphas,
+                              reduce_ratio_min=cfg.reduce_ratio_min,
+                              lims=lims, gk=lay.k, gK=lay.K, g_slots=g_sl,
+                              emit_echo=False, k_t=kt_forward,
+                              interpret=interpret)
+        accept = (fb.ls[1] > 0.5) & allow
         traj_n = fb.traj
-        tot_n = fb.totals[0]
+        tot_n = fb.ls[4]
         lam_n = jnp.where(accept, jnp.maximum(lam / cfg.lam_factor, 1e-6),
                           jnp.minimum(lam * cfg.lam_factor, cfg.lam_max))
         return traj_n, tot_n, lam_n
