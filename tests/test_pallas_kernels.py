@@ -20,7 +20,7 @@ from differentialdynamicprogramming_jl_tpu.ops.forward import forward_pass
 from differentialdynamicprogramming_jl_tpu.ops.pallas.backward_kernel import (
     backward_pass_pallas, pack_backward_inputs, backward_lanes)
 from differentialdynamicprogramming_jl_tpu.ops.pallas.forward_kernel import (
-    forward_lanes)
+    forward_lanes, linesearch_lanes)
 from differentialdynamicprogramming_jl_tpu.ops.pallas.pack import (
     to_lanes, from_lanes, vec_to_lanes)
 from differentialdynamicprogramming_jl_tpu.solvers.ilqg import default_alphas
@@ -336,3 +336,86 @@ def test_backward_kernel_emission_modes(pend):
         np.testing.assert_array_equal(np.asarray(out.stats),
                                       np.asarray(full.stats),
                                       err_msg=f"{emit} stats")
+
+
+@pytest.mark.parametrize("rr_min", [0.0, 0.6])
+def test_fused_linesearch_matches_two_phase(pend, rr_min):
+    """linesearch_lanes (one-launch phase-A totals + in-VMEM accept +
+    phase-B re-roll, solvers/batch.py STEP 3) must equal the pre-fusion
+    two-phase expression (forward_lanes totals -> XLA accept glue ->
+    forward_lanes re-roll) bit-for-bit: the fusion moved the accept
+    decision (src/iLQG.jl:269-280) into the kernel's pass boundary without
+    touching any arithmetic. rr_min=0.6 forces the ladder to descend past
+    rejected candidates; half the lanes have allow=0 (masked out)."""
+    spec, problem, lims, x0s, ro, d = pend
+    model = pendcart_lanes(spec)
+    bp = jax.vmap(lambda dd, uu: backward_pass(
+        dd, uu, lam=1.0, reg_type=2, lims=lims, use_limits=True))(d, ro.u)
+    alphas = tuple(float(a) for a in default_alphas(0.2, -3.0, 4))
+
+    traj = to_lanes(jnp.concatenate([ro.x, ro.u], axis=-1), B)
+    gains = to_lanes(jnp.concatenate(
+        [bp.policy.k, bp.policy.K.reshape(B, T, -1)], axis=-1), B)
+    x0_l = to_lanes(x0s[:, None, :], B)[0]
+    L = x0_l.shape[1:]
+
+    ctot = vec_to_lanes(jnp.sum(ro.cost, axis=1).astype(DTYPE))
+    dv1 = vec_to_lanes(bp.dV[:, 0].astype(DTYPE))
+    dv2 = vec_to_lanes(bp.dV[:, 1].astype(DTYPE))
+    allow = vec_to_lanes((jnp.arange(B) % 2 == 0).astype(DTYPE))
+    sel = jnp.stack([dv1, dv2, ctot, allow])
+
+    fused = linesearch_lanes(traj, gains, x0_l, sel, model=model,
+                             alphas=alphas, reduce_ratio_min=rr_min,
+                             lims=LIMS, gk=0, gK=1, k_t=4, interpret=True)
+
+    # phase A: per-candidate totals
+    al_tiles = jnp.stack([jnp.full(L, a, DTYPE) for a in alphas])
+    pa = forward_lanes(traj, gains, x0_l, al_tiles, model=model, lims=LIMS,
+                       gk=0, gK=1, k_t=4, interpret=True)
+    # accept glue: the pre-fusion driver expression, identical op order to
+    # the kernel's pass-boundary block
+    al_sel = dc_sel = rt_sel = found = None
+    for a_i, a in enumerate(alphas):
+        a = np.float32(a)       # the kernel's ladder is f32; keep the glue
+        #                         f32 under the suite's x64 config
+        dcost = ctot - pa.totals[a_i]
+        expected = (-a) * (dv1 + a * dv2)
+        ratio = jnp.where(expected > 0, dcost / expected, jnp.sign(dcost))
+        ok = ratio > rr_min
+        if a_i == 0:
+            dc_sel, rt_sel, found = dcost, ratio, ok
+            al_sel = jnp.where(ok, a, np.float32(0))
+        else:
+            take = ok & (~found)
+            al_sel = jnp.where(take, a, al_sel)
+            dc_sel = jnp.where(take, dcost, dc_sel)
+            rt_sel = jnp.where(take, ratio, rt_sel)
+            found = found | ok
+    al_eff = jnp.where(found & (allow > 0.5), al_sel, 0.0)
+    # phase B: accepted-alpha re-roll + entry echo
+    pb = forward_lanes(traj, gains, x0_l, al_eff[None], model=model,
+                       lims=LIMS, gk=0, gK=1, k_t=4, emit_traj=True,
+                       emit_echo=True, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(fused.traj),
+                                  np.asarray(pb.traj))
+    np.testing.assert_array_equal(np.asarray(fused.echo),
+                                  np.asarray(pb.echo))
+    np.testing.assert_array_equal(np.asarray(fused.ls[0]),
+                                  np.asarray(al_sel), err_msg="al_sel")
+    np.testing.assert_array_equal(
+        np.asarray(fused.ls[1]),
+        np.asarray(jnp.where(found, 1.0, 0.0)), err_msg="any_ok")
+    np.testing.assert_array_equal(np.asarray(fused.ls[2]),
+                                  np.asarray(dc_sel), err_msg="dcost_sel")
+    # ratio = dcost/expected: `expected = (-a)(dV1 + a dV2)` may or may not
+    # be FMA-contracted depending on the surrounding XLA program, so the
+    # reported ratio can differ by 1 ulp even though the accept DECISIONS
+    # above are bit-identical — compare to a few ulps
+    np.testing.assert_allclose(np.asarray(fused.ls[3]),
+                               np.asarray(rt_sel), rtol=1e-5, atol=1e-6,
+                               err_msg="ratio_sel")
+    np.testing.assert_array_equal(np.asarray(fused.ls[4]),
+                                  np.asarray(pb.totals[0]),
+                                  err_msg="total_new")
