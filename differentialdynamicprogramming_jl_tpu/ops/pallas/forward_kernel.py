@@ -293,6 +293,12 @@ def forward_lanes(traj: jax.Array, gains: jax.Array, x0: jax.Array,
                                      memory_space=pltpu.VMEM))
         inputs.append(lims_lanes)
 
+    # NOTE: no input/output aliasing here even when shapes allow it — the
+    # one emit_traj call site with a cost-slot input is the KL driver,
+    # whose input is the trust-region CENTER, deliberately kept live
+    # across iterations (src/iLQGkl.jl:137-140); donating it would force
+    # XLA to insert a protective full-stream copy per iteration. The iLQG
+    # drivers' in-place update lives in linesearch_lanes (opt-in).
     res = pl.pallas_call(
         kernel,
         grid=(nB, Tb),
@@ -495,7 +501,8 @@ def _make_fused_kernel(model: LanesModel, T: int, K_T: int,
 @functools.partial(
     jax.jit,
     static_argnames=("model", "alphas", "reduce_ratio_min", "lims", "gk",
-                     "gK", "g_slots", "emit_echo", "k_t", "interpret"))
+                     "gK", "g_slots", "emit_echo", "in_place", "k_t",
+                     "interpret"))
 def linesearch_lanes(traj: jax.Array, gains: jax.Array, x0: jax.Array,
                      sel: jax.Array,
                      params: Optional[jax.Array] = None,
@@ -507,6 +514,7 @@ def linesearch_lanes(traj: jax.Array, gains: jax.Array, x0: jax.Array,
                      gk: int = 0, gK: Optional[int] = None,
                      g_slots: Optional[int] = None,
                      emit_echo: bool = True,
+                     in_place: bool = False,
                      k_t: int = 8,
                      interpret: bool = False) -> LineSearchLanesOut:
     """Fused line search: per-α totals + accept decision + accepted-α
@@ -518,7 +526,12 @@ def linesearch_lanes(traj: jax.Array, gains: jax.Array, x0: jax.Array,
       allow] — ``allow`` (1.0/0.0) masks lanes permitted to accept
       (active ∧ backward OK ∧ not gradient-converged);
     - ``reduce_ratio_min``: STATIC accept threshold
-      (``src/iLQG.jl:269-280``).
+      (``src/iLQG.jl:269-280``);
+    - ``in_place``: alias the trajectory input with the trajectory output
+      (zero-copy carry update). Requires a cost-slot input
+      ((T, n+m+1, ...)) and that the CALLER never reads the input
+      trajectory after this call — XLA inserts a protective full-stream
+      copy otherwise.
 
     Returns the accepted-α rollout (α=0 retrace on non-accepted lanes),
     the input-echo stream, and the (5,)-slot per-lane line-search record
@@ -583,6 +596,19 @@ def linesearch_lanes(traj: jax.Array, gains: jax.Array, x0: jax.Array,
     out_specs.append(pl.BlockSpec((5, 1) + tile, fixed,
                                   memory_space=pltpu.VMEM))
 
+    # In-place trajectory update (opt-in): when the input stream carries
+    # the cost slot (the drivers' loop state, (T, n+m+1, ...)), alias it
+    # with the trajectory output so the kernel REWRITES the carry buffer
+    # instead of XLA copying a fresh output into the fixed carry position
+    # (the one structural while-loop copy left after the echo redesign —
+    # tools/hlo_copy_audit.py). Hazard-free by the grid schedule: input
+    # block b's last fetch (pass-2 step Tb+b) strictly precedes output
+    # block b's flush (step Tb+b+1), and distinct blocks never overlap.
+    # Callers must NOT use the input trajectory after the call (XLA would
+    # insert a protective copy) — the drivers' rollout-entry loop body
+    # qualifies; the pre-rolled path (which keeps c.traj live for the
+    # reject-select) does not.
+    alias = {0: 0} if in_place and traj.shape[1] == n + m + 1 else {}
     res = pl.pallas_call(
         kernel,
         grid=(nB, 2 * Tb),
@@ -590,6 +616,7 @@ def linesearch_lanes(traj: jax.Array, gains: jax.Array, x0: jax.Array,
         out_shape=tuple(out_shape),
         out_specs=tuple(out_specs),
         scratch_shapes=[pltpu.VMEM((n_scratch,) + tile, f32)],
+        input_output_aliases=alias,
         interpret=interpret,
     )(*inputs)
 

@@ -473,6 +473,7 @@ def _ilqg_batch_lanes_jit(model: LanesModel,
                               model=model, alphas=cfg.alphas,
                               reduce_ratio_min=cfg.reduce_ratio_min,
                               lims=lims, gk=lay.k, gK=lay.K, g_slots=g_sl,
+                              in_place=not pre_rolled,
                               k_t=kt_forward, interpret=interpret)
         al_sel = fb.ls[0]
         any_ok = fb.ls[1] > 0.5
@@ -654,7 +655,9 @@ def ilqg_iteration_lanes(model: LanesModel,
     ``step(traj, cost_tot, lam) -> (traj, cost_tot, lam)`` where ``traj`` is
     the (T, n+m+1, nB, 8, 128) trajectory stream. ``lims`` may be static
     ``((lo, hi),)*m`` or per-scenario (B, m, 2) (packed once here and
-    closed over)."""
+    closed over). The input ``traj`` buffer is DONATED to the fused
+    line-search kernel (in-place update) — don't read it after the call
+    (re-reading forces XLA to insert a protective full-stream copy)."""
     assert derivs_tiles is not None or packed_derivs is not None
     n, m = model.n, model.m
     lims, lims_batch = split_lims(lims)
@@ -691,7 +694,8 @@ def ilqg_iteration_lanes(model: LanesModel,
                               model=model, alphas=cfg.alphas,
                               reduce_ratio_min=cfg.reduce_ratio_min,
                               lims=lims, gk=lay.k, gK=lay.K, g_slots=g_sl,
-                              emit_echo=False, k_t=kt_forward,
+                              emit_echo=False, in_place=True,
+                              k_t=kt_forward,
                               interpret=interpret)
         accept = (fb.ls[1] > 0.5) & allow
         traj_n = fb.traj

@@ -353,7 +353,11 @@ def test_fused_linesearch_matches_two_phase(pend, rr_min):
         dd, uu, lam=1.0, reg_type=2, lims=lims, use_limits=True))(d, ro.u)
     alphas = tuple(float(a) for a in default_alphas(0.2, -3.0, 4))
 
-    traj = to_lanes(jnp.concatenate([ro.x, ro.u], axis=-1), B)
+    # driver-realistic loop-state stream WITH the running-cost slot
+    # ((T, n+m+1, ...)) — with in_place=True this exercises the fused
+    # kernel's input/output trajectory aliasing (zero-copy carry update)
+    traj = to_lanes(jnp.concatenate(
+        [ro.x, ro.u, ro.cost[:, :T, None]], axis=-1), B)
     gains = to_lanes(jnp.concatenate(
         [bp.policy.k, bp.policy.K.reshape(B, T, -1)], axis=-1), B)
     x0_l = to_lanes(x0s[:, None, :], B)[0]
@@ -367,7 +371,8 @@ def test_fused_linesearch_matches_two_phase(pend, rr_min):
 
     fused = linesearch_lanes(traj, gains, x0_l, sel, model=model,
                              alphas=alphas, reduce_ratio_min=rr_min,
-                             lims=LIMS, gk=0, gK=1, k_t=4, interpret=True)
+                             lims=LIMS, gk=0, gK=1, in_place=True, k_t=4,
+                             interpret=True)
 
     # phase A: per-candidate totals
     al_tiles = jnp.stack([jnp.full(L, a, DTYPE) for a in alphas])
