@@ -165,7 +165,7 @@ def ilqg_batch_lanes(model, packed_derivs, x0s, u0s,
                      derivs_tiles=None, params=None, cost0=None,
                      warm_start: bool = False, lam0=None, dlam0=None,
                      accepted0=None, max_steps=None,
-                     kt_backward: int = 25, kt_forward: int = 10,
+                     kt_backward: int = 25, kt_forward: int = 25,
                      record_trace: bool = False, interpret: bool = False):
     """Public entry — see :func:`_ilqg_batch_lanes_jit` for the full docs.
     Fills ``max_steps`` (always passed as a traced scalar) OUTSIDE the jit
@@ -214,7 +214,7 @@ def _ilqg_batch_lanes_jit(model: LanesModel,
                      accepted0: Optional[jax.Array] = None,
                      max_steps: Optional[jax.Array] = None,
                      kt_backward: int = 25,
-                     kt_forward: int = 10,
+                     kt_forward: int = 25,
                      record_trace: bool = False,
                      interpret: bool = False) -> BatchILQGResult:
     """Solve B independent iLQG problems (reference semantics of
@@ -648,7 +648,7 @@ def ilqg_iteration_lanes(model: LanesModel,
                          lims, cfg: ILQGConfig,
                          derivs_tiles: Optional[Callable] = None,
                          kt_backward: int = 25,
-                         kt_forward: int = 10,
+                         kt_forward: int = 25,
                          interpret: bool = False):
     """Build a jittable single-iteration step function on lane-layout state
     — the per-step hot path of an MPC loop (and of ``bench.py``). Returns

@@ -2,8 +2,13 @@
 the north-star workload (B=4096, T=500, pendcart ±5, f32) — the one-launch
 phase-A+accept+phase-B kernel (forward_kernel.linesearch_lanes).
 
-Usage: python tools/ab_fused.py <repo_root> [label] [k_t]
+Usage: python tools/ab_fused.py <repo_root> [label] [k_t] [inplace]
 Protocol identical to tools/ab_backward.py (400-launch on-device chains).
+With the ``inplace`` argument, the chain THREADS the trajectory through
+the fori_loop carry and calls the kernel with ``in_place=True`` — the
+donated-carry configuration the driver loop uses — so the alias cost or
+win is measured at kernel level (the default fixed-input chain would
+force a protective copy per launch and measure the wrong thing).
 """
 import sys
 import time
@@ -72,18 +77,35 @@ def main():
     alphas = tuple(default_alphas(0.2, -3.0, 6))
     g_sl = lay.K + m * n
 
+    # mode: "fixed" (default) re-launches on the same input — pure kernel
+    # latency; "threaded" carries the output trajectory into the next
+    # launch (the driver-loop dataflow, output→carry copy included);
+    # "inplace" = threaded + in_place=True (donated carry, zero-copy).
+    mode = sys.argv[4] if len(sys.argv) > 4 else "fixed"
+    assert mode in ("fixed", "threaded", "inplace"), mode
+
     def one(tr, s):
         return linesearch_lanes(tr, bo.out, x0_l, s, model=model,
                                 alphas=alphas, reduce_ratio_min=0.0,
                                 lims=lims, gk=lay.k, gK=lay.K,
-                                g_slots=g_sl, k_t=KT)
+                                g_slots=g_sl, in_place=(mode == "inplace"),
+                                k_t=KT)
 
-    @jax.jit
-    def chain(tr, s0):
-        def body(i, s):
-            o = one(tr, s)
-            return s + 0.0 * o.ls[4]      # serializing zero dependency
-        return jax.lax.fori_loop(0, N_CHAIN, body, s0)
+    if mode == "fixed":
+        @jax.jit
+        def chain(tr, s0):
+            def body(i, s):
+                o = one(tr, s)
+                return s + 0.0 * o.ls[4]      # serializing zero dependency
+            return jax.lax.fori_loop(0, N_CHAIN, body, s0)
+    else:
+        @jax.jit
+        def chain(tr, s0):
+            def body(i, c):
+                tr_, s_ = c
+                o = one(tr_, s_)
+                return (o.traj, s_ + 0.0 * o.ls[4])
+            return jax.lax.fori_loop(0, N_CHAIN, body, (tr, s0))[1]
 
     g = jax.jit(lambda a: a + 1.0)
     z = jnp.zeros((8, 128), jnp.float32)
@@ -97,7 +119,7 @@ def main():
         fetch(chain(traj, sel0))
         best = min(best, (time.perf_counter() - t0 - base) / N_CHAIN)
     print(f"AB {label}: fused line search {best*1e3:.4f} ms "
-          f"(B={B}, T={T}, k_t={KT}, A={len(alphas)})")
+          f"(B={B}, T={T}, k_t={KT}, A={len(alphas)}, mode={mode})")
 
 
 if __name__ == "__main__":
