@@ -127,9 +127,15 @@ def audit_kl(root: str) -> None:
     prev = prev._replace(k=ro.u)
     d = jax.vmap(problem.make_derivs())(ro.x, ro.u)
     cfg = ILQGKLConfig(kl_step=2.0, max_iter=4)
-    lo = ilqgkl_batch_lanes.lower(
+    # the public entry is a plain wrapper since the traced-loop-bound
+    # refactor — lower the inner jit it delegates to
+    from differentialdynamicprogramming_jl_tpu.solvers.batch_kl import (
+        _ilqgkl_batch_lanes_jit)
+    lo = _ilqgkl_batch_lanes_jit.lower(
         pendcart_lanes(spec), pendcart_derivs_tiles(spec), ro.x, prev,
-        d.fx, jnp.sum(ro.cost, -1), cfg=cfg, kt=4, interpret=True)
+        d.fx, jnp.sum(ro.cost, -1), lims=None, lims_batch=None, cfg=cfg,
+        r1=None, kt=4, max_steps=jnp.int32(cfg.max_iter),
+        it0=jnp.zeros((), jnp.int32), record_trace=False, interpret=True)
     # policy-emission stream (T, m + m·n + 2m² = 7, nB, 8, 128): the shape
     # the pre-round-3 driver carried as `bo` (now replaced by eta_used)
     _report(root, lo.compile().as_text(), {f"{T},7,1,8,128"})
