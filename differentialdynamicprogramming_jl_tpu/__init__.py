@@ -37,6 +37,8 @@ from .solvers.fleet import (ilqg_fleet, ilqg_fleet_sharded,
                             ilqgkl_fleet, ilqgkl_fleet_sharded)
 from .ops.pallas.autodiff_tiles import (autodiff_derivs_tiles,
                                         autodiff_packed_derivs)
+from .utils.aot import (export_solver, serialize_solver, deserialize_solver,
+                        save_solver, load_solver)
 
 __version__ = "0.1.0"
 
@@ -56,4 +58,6 @@ __all__ = [
     "ilqg_fleet", "ilqg_fleet_sharded", "ilqgkl_fleet",
     "ilqgkl_fleet_sharded",
     "autodiff_derivs_tiles", "autodiff_packed_derivs",
+    "export_solver", "serialize_solver", "deserialize_solver",
+    "save_solver", "load_solver",
 ]
