@@ -328,10 +328,40 @@ def demo_boxqp(n: int = 500, seed: int = 0):
     return out
 
 
+def main(argv=None):
+    """Console entry point (``ddp-tpu-demos [name ...]``) — run the named
+    demos, or the default tour. The reference exposes its demos as exported
+    functions (``src/DifferentialDynamicProgramming.jl:6``); a CLI is the
+    installable-package equivalent."""
+    import sys as _sys
+    registry = {
+        "boxqp": demo_boxqp,
+        "linear": demo_linear,
+        "linear_kl": demo_linear_kl,
+        "pendcart": demo_pendcart,
+        "mpc": demo_mpc,
+        "fleet": demo_fleet,
+        "quadrotor": demo_quadrotor,
+    }
+    names = list(argv) if argv is not None else _sys.argv[1:]
+    if any(a in ("-h", "--help") for a in names):
+        print("usage: ddp-tpu-demos [name ...]\n"
+              f"available demos: {', '.join(registry)}\n"
+              "default (no args): boxqp linear linear_kl pendcart fleet "
+              "quadrotor")
+        return 0
+    unknown = [a for a in names if a not in registry]
+    if unknown:
+        print(f"unknown demo(s): {', '.join(unknown)} — "
+              f"available: {', '.join(registry)}", file=_sys.stderr)
+        return 2
+    if not names:
+        names = ["boxqp", "linear", "linear_kl", "pendcart", "fleet",
+                 "quadrotor"]
+    for name in names:
+        registry[name]()
+    return 0
+
+
 if __name__ == "__main__":
-    demo_boxqp()
-    demo_linear()
-    demo_linear_kl()
-    demo_pendcart()
-    demo_fleet()
-    demo_quadrotor()
+    raise SystemExit(main())

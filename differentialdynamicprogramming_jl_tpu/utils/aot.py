@@ -74,17 +74,31 @@ def register_serialization() -> None:
         try:
             _jax_export.register_namedtuple_serialization(
                 cls, serialized_name=name)
-        except ValueError:
-            # already registered (e.g. by a previous call in this process)
-            pass
+        except ValueError as e:
+            # Benign ONLY if this exact class is already registered under
+            # this exact name (a previous call in this process). A class
+            # registered under a DIFFERENT name, or our name taken by a
+            # different class, would produce artifacts under unexpected
+            # names — surface that instead of masking it.
+            msg = str(e)
+            if not (f"type `{cls}`" in msg
+                    and f"serialized_name `{name}`" in msg):
+                raise
     _REGISTERED = True
 
 
 def _abstractify(x):
     if isinstance(x, jax.ShapeDtypeStruct):
         return x
-    a = jax.numpy.asarray(x)
-    return jax.ShapeDtypeStruct(a.shape, a.dtype)
+    if isinstance(x, jax.Array):
+        return jax.ShapeDtypeStruct(x.shape, x.dtype)
+    # host arrays/scalars: read shape/dtype WITHOUT a device transfer
+    # (jnp.asarray would device-commit e.g. a full (B=4096, T=500) input
+    # just to be thrown away)
+    import numpy as np
+    a = np.asarray(x)
+    dtype = jax.dtypes.canonicalize_dtype(a.dtype)
+    return jax.ShapeDtypeStruct(a.shape, dtype)
 
 
 def export_solver(fn: Callable, *example_args,

@@ -70,7 +70,10 @@ def test_save_load_file_roundtrip(tmp_path):
 def test_artifact_pins_shapes():
     solve, x0s, u0s = _xla_solver(jnp.float64)
     serve = deserialize_solver(serialize_solver(solve, x0s, u0s))
-    with pytest.raises(Exception):  # shape guard: wrong B must not execute
+    # shape guard: wrong B must be rejected by the artifact's own shape
+    # check (jax.export raises ValueError naming the dimension mismatch),
+    # not by some unrelated failure
+    with pytest.raises(ValueError, match="(?i)shape|dimension|mismatch"):
         serve(jnp.concatenate([x0s, x0s]), jnp.concatenate([u0s, u0s]))
 
 

@@ -6,6 +6,7 @@ import numpy as np
 
 from differentialdynamicprogramming_jl_tpu import backward_pass, KLTerms, GaussianPolicy
 from differentialdynamicprogramming_jl_tpu.problem import broadcast_derivs
+import pytest
 
 
 def lti_derivs(key, n=4, m=2, T=20, dtype=jnp.float64):
@@ -37,6 +38,7 @@ def riccati(A, B, Q, R, T):
     return Ks, ks, P
 
 
+@pytest.mark.smoke
 def test_lqr_parity(key):
     T = 20
     dv, (A, B, Q, R) = lti_derivs(key, T=T)

@@ -35,6 +35,7 @@ def pend_setup():
     return spec, problem, x0s, u0s, cfg
 
 
+@pytest.mark.smoke
 def test_batch_lanes_matches_vmap_driver():
     dtype = jnp.float32
     spec = PendCartSpec()

@@ -14,6 +14,7 @@ from differentialdynamicprogramming_jl_tpu.solvers.ilqgkl import (
 from differentialdynamicprogramming_jl_tpu.solvers.batch_kl import (
     ilqgkl_batch_lanes)
 from differentialdynamicprogramming_jl_tpu.policy import GaussianPolicy
+import pytest
 
 B, T = 8, 10
 
@@ -51,6 +52,7 @@ def test_batch_kl_per_step_eta_matches_xla_driver():
                                rtol=1e-2)
 
 
+@pytest.mark.smoke
 def test_batch_kl_matches_xla_driver():
     dtype = jnp.float32
     spec = PendCartSpec()

@@ -28,6 +28,7 @@ def test_unconstrained_interior(key):
     assert bool(jnp.all(out.free))
 
 
+@pytest.mark.smoke
 def test_matches_scipy_oracle(key):
     """Objective value matches a trusted bounded optimizer (L-BFGS-B)."""
     from scipy.optimize import minimize

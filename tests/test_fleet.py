@@ -12,8 +12,10 @@ from differentialdynamicprogramming_jl_tpu.solvers.ilqg import (
 from differentialdynamicprogramming_jl_tpu.solvers.batch import (
     ilqg_batch_lanes)
 from differentialdynamicprogramming_jl_tpu.solvers.fleet import ilqg_fleet
+import pytest
 
 
+@pytest.mark.smoke
 def test_fleet_matches_lockstep():
     B, T = 8, 6
     spec = PendCartSpec()

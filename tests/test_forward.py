@@ -7,6 +7,7 @@ from differentialdynamicprogramming_jl_tpu import (
     forward_pass, line_search, forward_covariance, GaussianPolicy, Problem)
 from differentialdynamicprogramming_jl_tpu.models.linear import (
     random_lti, make_lti_problem, SimpleLTVModel)
+import pytest
 
 
 def setup(key, T=30, n=4, m=2, dtype=jnp.float64):
@@ -15,6 +16,7 @@ def setup(key, T=30, n=4, m=2, dtype=jnp.float64):
     return spec, prob
 
 
+@pytest.mark.smoke
 def test_rollout_matches_manual_loop(key):
     T = 30
     spec, prob = setup(key, T)

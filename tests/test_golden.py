@@ -43,6 +43,7 @@ def test_linear_golden(golden):
                                golden["linear_u_sum"], atol=1e-6)
 
 
+@pytest.mark.smoke
 def test_pendcart_golden(golden):
     from differentialdynamicprogramming_jl_tpu.models.pendcart import (
         PendCartSpec, make_pendcart_problem, default_x0)

@@ -34,6 +34,7 @@ def test_monte_carlo_cost_bounds(key, dtype):
     assert costs.min() < 5, costs
 
 
+@pytest.mark.smoke
 def test_converges_to_lqr_cost(key):
     """The iLQG solution of the LQR problem must match the closed-form
     optimal cost (a sharper oracle than the reference's bounds)."""

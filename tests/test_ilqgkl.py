@@ -19,6 +19,7 @@ def setup(key, T=200, n=10, m=2, dtype=jnp.float64):
     return spec, prob, model
 
 
+@pytest.mark.smoke
 def test_gps_outer_loop_reduces_cost(key):
     """demo_linear_kl pattern (src/demo_linear.jl:124-130): 5 outer
     iterations of iLQGkl with kl_step=100, each re-centered on the previous

@@ -66,6 +66,7 @@ def lane_batch():
     return pendcart_lanes(spec), pendcart_derivs_tiles(spec), x0s, u0s
 
 
+@pytest.mark.smoke
 def test_sharded_lanes_matches_single_device(lane_batch):
     """The flagship Pallas lane tier under shard_map (8 devices, interpret
     mode) produces the same solves as the single-device lane driver —

@@ -123,8 +123,14 @@ def serve(path):
         "ms_per_iter": round(best * 1e3, 3),
         "first_call_s": round(first_call_s, 2),
         "checksum": ck,
+        # bit-exactness is the expectation (same artifact, same input),
+        # but an XLA/libtpu version or flag change between build and
+        # serve sessions can legitimately move f32 summation bits —
+        # report the magnitude so a near-miss is distinguishable from a
+        # real divergence
         "checksum_matches_build": bool(np.isclose(ck, ref["checksum"],
                                                   rtol=0, atol=0)),
+        "checksum_abs_diff": abs(ck - ref["checksum"]),
     }))
 
 
