@@ -106,6 +106,18 @@ def main():
                           (time.perf_counter() - t0 - base) / N_STEADY)
 
     err = float(jnp.mean(jnp.abs(xs[:, 0] - np.pi)))
+
+    # ---- QUALITY GATES (VERDICT r4 weak 6): the bench FAILS, not just
+    # drifts, when MPC tracking regresses. Round-4 measured 0.565 rad mean
+    # error after N_STEADY warm steps; gate at 1.5×. The steady-state plan
+    # cost must also beat the cold-start plan cost (the fleet has moved
+    # toward the target; a broken warm start / plan shift breaks this).
+    warm_res = solve(xs, us, cfg, True)
+    warm_cost = float(jnp.mean(warm_res.cost_total))
+    err_gate = err < 0.85
+    cost_gate = warm_cost < float(jnp.mean(res0.cost_total))
+    quality_ok = bool(err_gate and cost_gate)
+
     print(json.dumps({
         "workload": f"pendcart MPC B={B} T={T} inner={INNER} f32 lanes",
         "cold_solve_ms": round(cold_best * 1e3, 2),
@@ -113,7 +125,15 @@ def main():
         "steady_ms_per_mpc_step": round(steady_best * 1e3, 2),
         "steady_ms_per_ilqg_iter": round(steady_best * 1e3 / INNER, 3),
         "mean_angle_err_rad": round(err, 4),
+        "steady_mean_plan_cost": round(warm_cost, 2),
+        "cold_mean_plan_cost": round(float(jnp.mean(res0.cost_total)), 2),
+        "quality_ok": quality_ok,
     }))
+    if not quality_ok:
+        print(f"bench_mpc: QUALITY GATE FAILED (err {err:.3f} rad, gate "
+              f"0.85; steady cost {warm_cost:.1f} vs cold "
+              f"{float(jnp.mean(res0.cost_total)):.1f})", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
