@@ -636,6 +636,20 @@ def ilqgkl_fleet(model, derivs_tiles, x0s, traj_prev, fx_model, cost0,
     into the smallest tile-aligned batch and continued alone via the KL
     resume entry. Bit-exact vs lock-step per scenario.
 
+    **Measured recommendation (round 5): use lock-step
+    ** :func:`~.batch_kl.ilqgkl_batch_lanes` **instead.** Compaction needs
+    a wide per-lane iteration spread, and the KL tier's η search has none
+    in either mode: the scalar-η dual bisection's depth is set by the
+    bracket geometry and the RELATIVE tolerance (|KL−ε| < 0.1 ε), both
+    fleet-wide constants — a 60× mixed-difficulty pendcart fleet measured
+    median 7 / p90 8 / max 9 iterations and fleet 0.25× lock-step; the
+    per-timestep-ADAM mode runs every lane to the iteration budget
+    (spread 40/40/40, fleet 0.49×). See BASELINE.md round 5
+    (`tools/ab_kl_fleet.py`). Contrast the iLQG tier, where λ-ladder
+    certification tails (9-vs-49 spreads) make :func:`ilqg_fleet` a 2×
+    win. This entry stays for parity of the runtime layer across tiers
+    and as the resume-entry exerciser.
+
     Arguments mirror :func:`~.batch_kl.ilqgkl_batch_lanes` (``trace``
     unsupported). Single-device; :func:`ilqgkl_fleet_sharded` runs this
     per shard of a mesh.
