@@ -45,8 +45,6 @@ def _fetch(x):
 
 
 def main():
-    from differentialdynamicprogramming_jl_tpu.models.pendcart import (
-        PendCartSpec, default_x0, pendcart_lanes, pendcart_derivs_tiles)
     from differentialdynamicprogramming_jl_tpu.solvers.batch import (
         ilqg_batch_lanes)
     from differentialdynamicprogramming_jl_tpu.solvers.fleet import ilqg_fleet
@@ -54,21 +52,44 @@ def main():
         ILQGConfig, default_alphas)
     from timing import fetch_baseline
 
+    global T
     dtype = jnp.float32
-    spec = PendCartSpec()
-    model = pendcart_lanes(spec)
-    tiles = pendcart_derivs_tiles(spec)
-    lims_t = ((-LIMS, LIMS),)
+    if "--lti" in sys.argv:
+        # the ROUND-2 fleet-scheduler workload (BASELINE.md "Fleet
+        # scheduler"): constrained LTI n=10 m=2 T=1000 — the 5% λ-ladder
+        # certification tail (9-vs-49 iteration spread) the compaction
+        # was built for. --lti refreshes that 2.0× recommendation on the
+        # current (fused/emission/kt25) tree.
+        from differentialdynamicprogramming_jl_tpu.models.linear import (
+            random_lti, lti_lanes, lti_derivs_tiles)
+        T = 1000
+        spec = random_lti(jax.random.PRNGKey(0), n=10, m=2, T=T,
+                          dtype=dtype)
+        model = lti_lanes(spec)
+        tiles = lti_derivs_tiles(spec)
+        lims_t = ((-0.6, 0.6), (-0.6, 0.6))
+        x0s = (jnp.ones((B, 10), dtype)
+               * jnp.linspace(0.5, 2.0, B, dtype=dtype)[:, None])
+        u0s = jnp.tile(spec.u0, (B, 1, 1))
+        workload = f"LTI n=10 m=2 B={B} T={T} lims=±0.6 f32"
+    else:
+        from differentialdynamicprogramming_jl_tpu.models.pendcart import (
+            PendCartSpec, default_x0, pendcart_lanes, pendcart_derivs_tiles)
+        spec = PendCartSpec()
+        model = pendcart_lanes(spec)
+        tiles = pendcart_derivs_tiles(spec)
+        lims_t = ((-LIMS, LIMS),)
+        # Heterogeneous fleet: spread over angle AND cart position so
+        # iterations-to-converge vary (that spread is what the scheduler
+        # buys).
+        key = jax.random.PRNGKey(0)
+        x0s = (default_x0(dtype)[None, :]
+               + 0.4 * jax.random.normal(key, (B, 4), dtype)
+               * jnp.array([1, 1, 0, 0], dtype))
+        u0s = jnp.zeros((B, T, 1), dtype)
+        workload = f"pendcart swing-up B={B} T={T} lims=±{LIMS:g} f32"
     cfg = ILQGConfig(alphas=default_alphas(0.2, -3.0, 6), reg_type=2,
                      lam_max=1e15, max_iter=300)
-
-    # Heterogeneous fleet: spread over angle AND cart position so
-    # iterations-to-converge vary (that spread is what the scheduler buys).
-    key = jax.random.PRNGKey(0)
-    x0s = (default_x0(dtype)[None, :]
-           + 0.4 * jax.random.normal(key, (B, 4), dtype)
-           * jnp.array([1, 1, 0, 0], dtype))
-    u0s = jnp.zeros((B, T, 1), dtype)
 
     common = dict(lims=lims_t, cfg=cfg, derivs_tiles=tiles)
     base = fetch_baseline()
@@ -99,7 +120,8 @@ def main():
     # ---- fleet: chunk_iters ≈ median, geometric growth ----
     results = {}
     for ci, gr in ((int(np.median(iters)), 8.0),
-                   (max(4, int(np.median(iters)) - 2), 4.0)):
+                   (max(4, int(np.median(iters)) - 2), 4.0),
+                   (10, 10.0)):  # round-2's winning LTI schedule
         tag = f"fleet_ci{ci}_g{gr:g}"
         fr = ilqg_fleet(model, None, x0s, u0s, chunk_iters=ci,
                         chunk_growth=gr, **common)   # compiles chunk sizes
@@ -126,8 +148,7 @@ def main():
         print(json.dumps({tag: results[tag]}), flush=True)
 
     print(json.dumps({
-        "workload": f"pendcart swing-up B={B} T={T} lims=±{LIMS:g} f32, "
-                    f"to convergence (max_iter=300)",
+        "workload": workload + ", to convergence (max_iter=300)",
         "lockstep_ms": round(lock_best * 1e3, 1), **results}))
 
 
