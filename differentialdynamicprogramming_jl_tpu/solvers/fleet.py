@@ -10,6 +10,21 @@ them, using the lane driver's resume entry (pre-rolled trajectory + carried
 λ/dλ/accepted counters), so the composition is semantically one
 uninterrupted solve per scenario.
 
+Measured scope (BASELINE.md round 5 — READ BEFORE REACHING FOR THIS): the
+round-2 2.0× win was largely an f32 pathology (`dcost < tol_fun`
+unreachable in f32 → a 5% tail burning ~40 REJECTED iterations certifying
+λ>λmax) that `tol_fun_effective` has since fixed at the source — the LTI
+iteration spread collapsed from 9-vs-49 to 20-vs-40 and lock-step itself
+got 2.9× faster. The compaction arithmetic still works (per-iteration
+lane latency is ~linear in B, tools/ab_bscale.py), but each chunk costs
+one host round trip, and through a remote-TPU relay that is ~26-31 ms:
+round 5 measured the best LTI schedule at 1.14× and the pendcart north
+star at 0.71-0.97× (a loss) despite a 21-vs-182 spread — the compacted
+compute saving (~40%) was eaten by ~2-3 chunk round trips. Use lock-step
+(`ilqg_batch_lanes`) by default; reach for the fleet only when (solve
+wall time) ≫ (chunks × dispatch latency) — long solves on low-latency
+dedicated hosts — and size `chunk_iters` near the fleet's median.
+
 The reference has no analogue (single-problem library); this is the
 TPU-native fleet-throughput component the framework adds. Performance
 rules it obeys (hard-won — see CLAUDE.md):

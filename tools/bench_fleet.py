@@ -98,16 +98,21 @@ def main():
     res = ilqg_batch_lanes(model, None, x0s, u0s, **common)   # compile+warm
     iters = np.asarray(res.n_iters)
     _fetch(res.cost_total)
+    lock_cost = np.asarray(res.cost_total, np.float64)
+    lock_reason = np.asarray(res.reason)
+    dep0 = res.cost_total              # (B,) — the only live device remnant
+    del res    # free the (B,T,...) result streams: at LTI scale (n=10,
+    r = None   # T=1000) three live results + fleet chunk buffers OOM HBM
     lock_best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
+        del r
         r = ilqg_batch_lanes(model, None, x0s,
-                             u0s + 0.0 * res.cost_total[:, None, None],
+                             u0s + 0.0 * dep0[:, None, None],
                              **common)
         _fetch(r.cost_total)
         lock_best = min(lock_best, time.perf_counter() - t0 - base)
-    lock_cost = np.asarray(res.cost_total, np.float64)
-    lock_reason = np.asarray(res.reason)
+    del r
 
     print(json.dumps({
         "iters_median": float(np.median(iters)),
@@ -128,6 +133,7 @@ def main():
         _fetch(fr.u)
         best = float("inf")
         for _ in range(3):
+            del fr    # free before re-solving (HBM hygiene, see lock-step)
             t0 = time.perf_counter()
             fr = ilqg_fleet(model, None, x0s, u0s, chunk_iters=ci,
                             chunk_growth=gr, **common)
@@ -145,6 +151,7 @@ def main():
             "reasons_agree": int(np.sum(np.asarray(fr.reason)
                                         == lock_reason)),
         }
+        del fr
         print(json.dumps({tag: results[tag]}), flush=True)
 
     print(json.dumps({
