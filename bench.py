@@ -28,6 +28,7 @@ baseline (tools/timing.py). A tier that fails still emits its line with
 import json
 import os
 import sys
+import threading
 import time
 import traceback
 
@@ -296,11 +297,37 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache_bench")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    # Watchdog: the axon relay intermittently hangs a PROCESS's device ops
+    # forever (observed round 5: a fresh process's first compute op blocks
+    # in futex wait while an identical op in another process succeeds).
+    # A hang is not an exception — without this the round bench would
+    # produce NO output at all. If the current tier (or the baseline fetch)
+    # makes no progress for TIER_TIMEOUT_S (covers a cold multi-minute
+    # driver compile), emit an honest null headline line and hard-exit.
+    # Started BEFORE the first device op: the very first compute is the
+    # most likely place for a bad relay connection to wedge.
+    TIER_TIMEOUT_S = 2100.0
+    state = {"deadline": time.monotonic() + 600.0}  # baseline fetch budget
+
+    def _watchdog():
+        while True:
+            time.sleep(30)
+            if time.monotonic() > state["deadline"]:
+                _emit("ilqg_full_driver_iter_latency_b4096_T500_pendcart"
+                      "_boxqp_f32", "ms", None, TARGET_ITER_MS,
+                      error="bench stalled in one tier (axon relay hang); "
+                            "aborted by watchdog, value not measured")
+                sys.stdout.flush()
+                os._exit(1)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     from timing import fetch_baseline
     base = fetch_baseline()
 
     failures = 0
     for tier in (bench_kl, bench_mpc, bench_quadrotor, bench_headline):
+        state["deadline"] = time.monotonic() + TIER_TIMEOUT_S
         try:
             tier(base)
         except Exception as e:  # noqa: BLE001 — tier isolation is the point
