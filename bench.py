@@ -9,7 +9,8 @@ one JSON line each, HEADLINE LAST (the driver parses the last line):
   1. ilqgkl_fleet_solve  — 10-iteration scalar-η GPS trust-region solve,
      B=4096 T=500 pendcart (tools/bench_kl.py workload; round 4: 20.9 ms)
   2. mpc_steady_step     — warm-started 5-iteration receding-horizon MPC
-     step, B=4096 T=300 (tools/bench_mpc.py workload; round 4: 5.94 ms)
+     step, B=4096 T=300, 20 steps chained on device per lax.scan window
+     (tools/bench_mpc.py workload; round 4 host-loop: 5.94 ms)
   3. quadrotor_iter      — 20-iteration-budget quadrotor fleet solve per
      iteration, B=4096 T=400, m=2 thrust box, autodiff tiles
   4. ilqg_full_driver_iter (HEADLINE) — 20-iteration-budget pendcart
@@ -36,6 +37,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "tools"))
 
 TARGET_ITER_MS = 10.0
+
+# one metric name per tier — the SAME string on success and failure (the
+# driver parses the last line by metric name; a tier that dies must still
+# emit under its contract name, not its Python function name)
+METRIC_KL = "ilqgkl_fleet_solve_latency_b4096_T500_pendcart_10iter_f32"
+METRIC_MPC = "mpc_steady_step_latency_b4096_T300_inner5_pendcart_f32"
+METRIC_QUAD = "quadrotor_fleet_iter_latency_b4096_T400_m2_autodiff_f32"
+METRIC_HEADLINE = "ilqg_full_driver_iter_latency_b4096_T500_pendcart_boxqp_f32"
 
 
 def _emit(metric, unit, value, target, extra=None, error=None):
@@ -129,9 +138,11 @@ def bench_kl(base):
 
     r = run(None)
     _fetch(r.cost_total)
-    best, _ = _chain_time(run, r, base, n_chain=4)
+    # n_chain sized so the measured window stays >=5x the ~31 ms fetch
+    # baseline (CLAUDE.md timing rule): 8 x ~21 ms ~= 170 ms
+    best, _ = _chain_time(run, r, base, n_chain=8)
     return _emit(
-        f"ilqgkl_fleet_solve_latency_b{B}_T{T}_pendcart_{MAX_ITER}iter_f32",
+        METRIC_KL,
         "ms", round(best * 1e3, 3), TARGET_ITER_MS * MAX_ITER)
 
 
@@ -169,31 +180,42 @@ def bench_mpc(base):
             [res.u[:, 1:], jnp.zeros((B, 1, 1), dtype)], axis=1)
         return x_next, u_shift
 
+    # the receding-horizon loop runs ON DEVICE: N_STEADY MPC steps chained
+    # in one lax.scan = ONE dispatch per timed window. A host-side step
+    # loop is 2-3 relay dispatches per step, which dominated AND
+    # destabilized the metric (measured 5.7-11.2 ms/step across runs of
+    # the identical program as relay dispatch cost drifted); on-device
+    # chaining amortizes dispatch 20x and is the serving pattern the
+    # latency-decomposition analysis recommends (README).
+    @jax.jit
+    def mpc_chunk(x_, u_):
+        def body(carry, _):
+            return mpc_step(*carry), 0.0
+        (xo, uo), _ = jax.lax.scan(body, (x_, u_), None, length=N_STEADY)
+        return xo, uo
+
     # seed the warm loop with a NOISY plan instead of the full-budget
     # cold solve (one fewer multi-minute driver compile in the round
     # harness), then BURN IN real MPC steps before timing: per-step
     # latency is data-dependent (the driver while_loop exits early once
     # every lane's 5-iteration budget is spent or converged), so timing
-    # the transient from an unconverged plan reads ~2× the steady state
-    # (11.2 vs 5.9 ms, round 5). Each timed window CONTINUES from the
-    # evolved state — that is the steady state tools/bench_mpc.py
-    # measures from its converged cold-solve seed.
+    # the transient from an unconverged plan reads ~2× the steady state.
+    # Each timed window CONTINUES from the evolved state — the steady
+    # state tools/bench_mpc.py measures from its converged cold seed.
     u_warm = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (B, T, 1),
                                      dtype)
-    xs, us = mpc_step(x, u_warm)
+    xs, us = mpc_chunk(x, u_warm)         # compile + first window
     _fetch(xs)
-    for _ in range(30):                   # burn-in to steady state
-        xs, us = mpc_step(xs, us)
+    xs, us = mpc_chunk(xs, us)            # burn-in to steady state
     _fetch(xs)
     best = float("inf")
     for _ in range(5):
         t0 = time.perf_counter()
-        for _ in range(N_STEADY):
-            xs, us = mpc_step(xs, us)
+        xs, us = mpc_chunk(xs, us)
         _fetch(xs)
         best = min(best, (time.perf_counter() - t0 - base) / N_STEADY)
     return _emit(
-        f"mpc_steady_step_latency_b{B}_T{T}_inner{INNER}_pendcart_f32",
+        METRIC_MPC,
         "ms", round(best * 1e3, 3), TARGET_ITER_MS * INNER)
 
 
@@ -234,7 +256,7 @@ def bench_quadrotor(base):
     assert 1 <= iters_run <= ITER_BUDGET, iters_run
     best, _ = _chain_time(run, r, base, n_chain=3)
     return _emit(
-        f"quadrotor_fleet_iter_latency_b{B}_T{T}_m2_autodiff_f32",
+        METRIC_QUAD,
         "ms", round(best * 1e3 / iters_run, 3), TARGET_ITER_MS,
         extra={"iters": iters_run})
 
@@ -275,7 +297,7 @@ def bench_headline(base):
     assert 1 <= iters_run <= ITER_BUDGET, iters_run
     best, _ = _chain_time(run, r, base, n_chain=3)
     return _emit(
-        f"ilqg_full_driver_iter_latency_b{B}_T{T}_pendcart_boxqp_f32",
+        METRIC_HEADLINE,
         "ms", round(best * 1e3 / iters_run, 3), TARGET_ITER_MS)
 
 
@@ -283,7 +305,7 @@ def main():
     if not _probe_devices():
         # still machine-readable, with an honest null value (no stale/
         # fabricated number) — plus a loud stderr note
-        _emit("ilqg_full_driver_iter_latency_b4096_T500_pendcart_boxqp_f32",
+        _emit(METRIC_HEADLINE,
               "ms", None, TARGET_ITER_MS,
               error="accelerator unreachable (axon relay down); "
                     "no measurement taken")
@@ -313,8 +335,7 @@ def main():
         while True:
             time.sleep(30)
             if time.monotonic() > state["deadline"]:
-                _emit("ilqg_full_driver_iter_latency_b4096_T500_pendcart"
-                      "_boxqp_f32", "ms", None, TARGET_ITER_MS,
+                _emit(METRIC_HEADLINE, "ms", None, TARGET_ITER_MS,
                       error="bench stalled in one tier (axon relay hang); "
                             "aborted by watchdog, value not measured")
                 sys.stdout.flush()

@@ -75,14 +75,19 @@ def register_serialization() -> None:
             _jax_export.register_namedtuple_serialization(
                 cls, serialized_name=name)
         except ValueError as e:
-            # Benign ONLY if this exact class is already registered under
-            # this exact name (a previous call in this process). A class
-            # registered under a DIFFERENT name, or our name taken by a
-            # different class, would produce artifacts under unexpected
-            # names — surface that instead of masking it.
-            msg = str(e)
-            if not (f"type `{cls}`" in msg
-                    and f"serialized_name `{name}`" in msg):
+            # Benign only for a duplicate registration of this class (a
+            # previous call in this process). Match jax's stable message
+            # prefix rather than its full wording (the detailed form has
+            # changed across jax versions; a reword must not turn the
+            # benign path into a crash), but still re-raise any OTHER
+            # ValueError — e.g. an invalid name — instead of masking it.
+            # Residual ambiguity: two live copies of this module (repo
+            # checkout + installed wheel) register distinct class objects
+            # whose str() prints identically; that collision is not
+            # distinguishable from the benign case by message inspection
+            # and will be accepted here — artifacts then use whichever
+            # copy registered first, which is still a consistent name.
+            if "uplicate" not in str(e):
                 raise
     _REGISTERED = True
 

@@ -105,8 +105,9 @@ def main():
     r = None   # T=1000) three live results + fleet chunk buffers OOM HBM
     lock_best = float("inf")
     for _ in range(3):
+        del r       # free BEFORE the timed window (the fleet loop does
+        #             the same — keep the A/B's dealloc overhead symmetric)
         t0 = time.perf_counter()
-        del r
         r = ilqg_batch_lanes(model, None, x0s,
                              u0s + 0.0 * dep0[:, None, None],
                              **common)
