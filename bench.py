@@ -153,7 +153,7 @@ def bench_mpc(base):
         PendCartSpec, default_x0, make_pendcart_problem, pendcart_lanes,
         pendcart_derivs_tiles)
     from differentialdynamicprogramming_jl_tpu.solvers.batch import (
-        ilqg_batch_lanes)
+        mpc_rollout_lanes)
     from differentialdynamicprogramming_jl_tpu.solvers.ilqg import (
         ILQGConfig, default_alphas)
 
@@ -172,27 +172,17 @@ def bench_mpc(base):
          * jnp.array([1, 1, 0, 0], dtype))
     dyn0 = jax.jit(jax.vmap(lambda a, b: prob.dynamics(a, b, 0)))
 
-    def mpc_step(x_, u_):
-        res = ilqg_batch_lanes(model, None, x_, u_, lims=lims_t, cfg=cfg,
-                               derivs_tiles=tiles, warm_start=True)
-        x_next = dyn0(x_, res.u[:, 0])
-        u_shift = jnp.concatenate(
-            [res.u[:, 1:], jnp.zeros((B, 1, 1), dtype)], axis=1)
-        return x_next, u_shift
-
     # the receding-horizon loop runs ON DEVICE: N_STEADY MPC steps chained
-    # in one lax.scan = ONE dispatch per timed window. A host-side step
-    # loop is 2-3 relay dispatches per step, which dominated AND
-    # destabilized the metric (measured 5.7-11.2 ms/step across runs of
-    # the identical program as relay dispatch cost drifted); on-device
-    # chaining amortizes dispatch 20x and is the serving pattern the
-    # latency-decomposition analysis recommends (README).
-    @jax.jit
+    # in one lax.scan = ONE dispatch per timed window, via the packaged
+    # serving entry (`mpc_rollout_lanes`). A host-side step loop is 2-3
+    # relay dispatches per step, which dominated AND destabilized the
+    # metric (measured 5.7-11.2 ms/step across runs of the identical
+    # program as relay dispatch cost drifted).
     def mpc_chunk(x_, u_):
-        def body(carry, _):
-            return mpc_step(*carry), 0.0
-        (xo, uo), _ = jax.lax.scan(body, (x_, u_), None, length=N_STEADY)
-        return xo, uo
+        x_f, u_f, _, _, _ = mpc_rollout_lanes(
+            model, None, x_, u_, dyn0, N_STEADY, lims=lims_t, cfg=cfg,
+            derivs_tiles=tiles)
+        return x_f, u_f
 
     # seed the warm loop with a NOISY plan instead of the full-budget
     # cold solve (one fewer multi-minute driver compile in the round

@@ -30,7 +30,8 @@ from .ops.kl import (grad_kl, kl_div_gaussian, kl_div_wiki, entropy, calc_eta,
 from .solvers.ilqg import ilqg, ILQGConfig, ILQGResult, default_alphas
 from .solvers.ilqgkl import ilqg_kl, ILQGKLConfig
 from .solvers.batch import (ilqg_batch_lanes, ilqg_iteration_lanes,
-                            BatchILQGResult, BatchTrace)
+                            mpc_rollout_lanes, BatchILQGResult,
+                            BatchTrace)
 from .solvers.batch_kl import (ilqgkl_batch_lanes, BatchKLResult,
                                BatchKLTrace)
 from .solvers.fleet import (ilqg_fleet, ilqg_fleet_sharded,
@@ -53,7 +54,8 @@ __all__ = [
     "parallel_riccati",
     "ilqg", "ILQGConfig", "ILQGResult", "default_alphas",
     "ilqg_kl", "ILQGKLConfig",
-    "ilqg_batch_lanes", "ilqg_iteration_lanes", "BatchILQGResult",
+    "ilqg_batch_lanes", "ilqg_iteration_lanes", "mpc_rollout_lanes",
+    "BatchILQGResult",
     "BatchTrace", "ilqgkl_batch_lanes", "BatchKLResult", "BatchKLTrace",
     "ilqg_fleet", "ilqg_fleet_sharded", "ilqgkl_fleet",
     "ilqgkl_fleet_sharded",

@@ -705,3 +705,82 @@ def ilqg_iteration_lanes(model: LanesModel,
         return traj_n, tot_n, lam_n
 
     return step
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "packed_derivs", "plant", "n_steps", "lims",
+                     "cfg", "derivs_tiles", "kt_backward", "kt_forward",
+                     "interpret"))
+def _mpc_rollout_lanes_jit(model: LanesModel,
+                           packed_derivs: Optional[Callable],
+                           x0s: jax.Array,
+                           u0s: jax.Array,
+                           plant: Callable,
+                           n_steps: int,
+                           lims=None,
+                           lims_batch: Optional[jax.Array] = None,
+                           cfg: ILQGConfig = ILQGConfig(),
+                           derivs_tiles: Optional[Callable] = None,
+                           params: Optional[jax.Array] = None,
+                           kt_backward: int = 25,
+                           kt_forward: int = 25,
+                           interpret: bool = False):
+    B, _, m = u0s.shape
+
+    def body(carry, _):
+        x_, u_ = carry
+        res = _ilqg_batch_lanes_jit(
+            model, packed_derivs, x_, u_, lims=lims, lims_batch=lims_batch,
+            cfg=cfg, derivs_tiles=derivs_tiles, params=params,
+            warm_start=True, max_steps=jnp.asarray(cfg.cap() - 1, jnp.int32),
+            kt_backward=kt_backward, kt_forward=kt_forward,
+            interpret=interpret)
+        u_apply = res.u[:, 0]
+        x_next = plant(x_, u_apply)
+        u_shift = jnp.concatenate(
+            [res.u[:, 1:], jnp.zeros((B, 1, m), u0s.dtype)], axis=1)
+        return (x_next, u_shift), (x_next, u_apply, res.cost_total)
+
+    (x_f, u_f), (xs, us, costs) = lax.scan(body, (x0s, u0s), None,
+                                           length=n_steps)
+    return x_f, u_f, xs, us, costs
+
+
+def mpc_rollout_lanes(model, packed_derivs, x0s, u0s, plant, n_steps,
+                      lims=None, cfg: ILQGConfig = ILQGConfig(),
+                      derivs_tiles=None, params=None,
+                      kt_backward: int = 25, kt_forward: int = 25,
+                      interpret: bool = False):
+    """On-device receding-horizon MPC rollout: ``n_steps`` chained steps of
+    (warm-started bounded iLQG re-solve → apply the plan's first control
+    through ``plant`` → shift the plan) inside ONE jitted ``lax.scan``.
+
+    The host-loop equivalent (``demos.demo_mpc``) pays 2-3 dispatches per
+    step; through a remote-TPU relay that is ~0-4 ms/step of tenancy-
+    drifting overhead — measured 5.7-11.2 ms/step for the identical
+    program vs a stable **4.0 ms/step** for this on-device chain at
+    B=4096, T=300, 5-iteration re-solves (BASELINE.md round 5). Use this
+    for latency-critical serving; the per-step warm-start semantics are
+    the reference's pre-rolled trajectory entry (``src/iLQG.jl:193-197``).
+
+    Args mirror :func:`ilqg_batch_lanes`, plus:
+      plant: ``(x (B, n), u (B, m)) -> x_next (B, n)`` — the TRUE plant
+        dynamics the first control of each plan is applied through (may
+        differ from ``model``'s prediction dynamics; that mismatch is what
+        receding-horizon re-solving absorbs). Must be jittable; static
+        under jit, so pass a module-level or otherwise long-lived
+        function (a fresh lambda per call recompiles the whole rollout).
+      n_steps: number of closed-loop steps (static — one compile per value;
+        reuse one chunk size and call repeatedly to cover long horizons).
+
+    Returns ``(x_final (B, n), u_plan_final (B, T, m),
+    states (n_steps, B, n), controls (n_steps, B, m),
+    cost_totals (n_steps, B))`` — the closed-loop trace, scan-stacked.
+    """
+    lims, lims_batch = split_lims(lims)
+    return _mpc_rollout_lanes_jit(
+        model, packed_derivs, x0s, u0s, plant, int(n_steps), lims=lims,
+        lims_batch=lims_batch, cfg=cfg, derivs_tiles=derivs_tiles,
+        params=params, kt_backward=kt_backward, kt_forward=kt_forward,
+        interpret=interpret)
