@@ -32,8 +32,8 @@ from .solvers.ilqgkl import ilqg_kl, ILQGKLConfig
 from .solvers.batch import (ilqg_batch_lanes, ilqg_iteration_lanes,
                             mpc_rollout_lanes, BatchILQGResult,
                             BatchTrace)
-from .solvers.batch_kl import (ilqgkl_batch_lanes, BatchKLResult,
-                               BatchKLTrace)
+from .solvers.batch_kl import (ilqgkl_batch_lanes, gps_rollout_lanes,
+                               BatchKLResult, BatchKLTrace)
 from .solvers.fleet import (ilqg_fleet, ilqg_fleet_sharded,
                             ilqgkl_fleet, ilqgkl_fleet_sharded)
 from .ops.pallas.autodiff_tiles import (autodiff_derivs_tiles,
@@ -56,7 +56,8 @@ __all__ = [
     "ilqg_kl", "ILQGKLConfig",
     "ilqg_batch_lanes", "ilqg_iteration_lanes", "mpc_rollout_lanes",
     "BatchILQGResult",
-    "BatchTrace", "ilqgkl_batch_lanes", "BatchKLResult", "BatchKLTrace",
+    "BatchTrace", "ilqgkl_batch_lanes", "gps_rollout_lanes", "BatchKLResult",
+    "BatchKLTrace",
     "ilqg_fleet", "ilqg_fleet_sharded", "ilqgkl_fleet",
     "ilqgkl_fleet_sharded",
     "autodiff_derivs_tiles", "autodiff_packed_derivs",

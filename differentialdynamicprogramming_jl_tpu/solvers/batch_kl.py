@@ -554,3 +554,88 @@ def _ilqgkl_batch_lanes_jit(model: LanesModel,
         done=vec_from_lanes(c.done, B),
         trace=(BatchKLTrace(*[jnp.transpose(f.reshape(cap, -1)[:, :B])
                               for f in c.trace]) if record_trace else None))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "derivs_tiles", "fx_fn", "outer_iters",
+                     "lims", "cfg", "r1", "kt", "unroll", "interpret"))
+def _gps_rollout_lanes_jit(model: LanesModel,
+                           derivs_tiles: Callable,
+                           x0s: jax.Array,
+                           traj0: GaussianPolicy,
+                           cost0: jax.Array,
+                           fx_fn: Callable,
+                           outer_iters: int,
+                           lims=None,
+                           lims_batch: Optional[jax.Array] = None,
+                           cfg: ILQGKLConfig = ILQGKLConfig(),
+                           r1: Optional[Tuple] = None,
+                           kt: int = 16,
+                           unroll: int = 1,
+                           interpret: bool = False):
+    def body(carry, _):
+        x_, traj_, cost_ = carry
+        fx = fx_fn(x_, traj_.k)
+        res = _ilqgkl_batch_lanes_jit(
+            model, derivs_tiles, x_, traj_, fx, cost_, lims=lims,
+            lims_batch=lims_batch, cfg=cfg, r1=r1, kt=kt,
+            max_steps=jnp.int32(cfg.max_iter),
+            it0=jnp.zeros((), jnp.int32), interpret=interpret)
+        ys = (res.cost_total, res.eta, res.divergence, res.satisfied,
+              res.kl_violated)
+        return (res.x, res.policy, res.cost_total), ys
+
+    (x_f, traj_f, cost_f), ys = lax.scan(body, (x0s, traj0, cost0), None,
+                                         length=outer_iters,
+                                         unroll=unroll)
+    return x_f, traj_f, ys
+
+
+def gps_rollout_lanes(model, derivs_tiles, x0s, traj0, cost0, fx_fn,
+                      outer_iters, lims=None, cfg: ILQGKLConfig = ILQGKLConfig(),
+                      r1=None, kt: int = 16, unroll: Optional[int] = None,
+                      interpret: bool = False):
+    """GPS-style policy-improvement loop ON DEVICE: ``outer_iters`` chained
+    iLQGkl trust-region solves, each re-centered on the previous result
+    (``x ← res.x``, ``traj_prev ← res.policy``, ``cost ← res.cost_total``)
+    — the reference's canonical 5× outer-loop usage pattern
+    (``src/demo_linear.jl:124-130``) as ONE jitted ``lax.scan``, one
+    dispatch for the whole policy-improvement run instead of one per outer
+    iteration (each host dispatch costs ~4 ms through a remote-TPU relay —
+    BASELINE.md round 5 "relay dispatch"; cf. :func:`~.batch.mpc_rollout_lanes`).
+
+    Args mirror :func:`ilqgkl_batch_lanes`, except the model-dynamics
+    stream is recomputed per outer iteration:
+      fx_fn: ``(x (B, T, n), u (B, T, m)) -> fx (B, T, n, n)`` — the
+        covariance-propagation dynamics along the CURRENT rollout (the
+        reference passes a fitted ``model`` per outer call,
+        ``src/demo_linear.jl:118``; for an LTI model return broadcast
+        constants). Static under jit: pass a long-lived function.
+      outer_iters: number of policy-improvement iterations (static).
+
+    Returns ``(x_final (B, T, n), policy_final (batched GaussianPolicy),
+    per_outer)`` where ``per_outer`` is the scan-stacked
+    ``(cost_total, eta, divergence, satisfied, kl_violated)`` —
+    each ``(outer_iters, B)`` — for convergence monitoring.
+
+    ``unroll`` (default: full unroll for ``outer_iters ≤ 8``, else scan):
+    a rolled ``lax.scan`` pins the (B, T, n) trajectory and policy carries
+    to fixed buffers, costing materializing copies per outer iteration
+    (the while-loop buffer rule, CLAUDE.md) — measured at B=4096, T=500,
+    5×10-iter pendcart GPS: unrolled **108 ms** vs scan 180 ms vs 122 ms
+    for a per-outer-jitted host loop vs 624-1524 ms for the naive
+    (unjitted-glue) host loop; all four bit-identical
+    (tools/bench_gps_rollout.py, BASELINE.md round 5). Compile time
+    scales with the unroll factor — use the scan default for large
+    ``outer_iters``.
+    """
+    from .batch import split_lims
+    lims, lims_batch = split_lims(lims)
+    if unroll is None:
+        unroll = int(outer_iters) if int(outer_iters) <= 8 else 1
+    return _gps_rollout_lanes_jit(model, derivs_tiles, x0s, traj0, cost0,
+                                  fx_fn, int(outer_iters), lims=lims,
+                                  lims_batch=lims_batch, cfg=cfg, r1=r1,
+                                  kt=kt, unroll=int(unroll),
+                                  interpret=interpret)
