@@ -779,6 +779,10 @@ def mpc_rollout_lanes(model, packed_derivs, x0s, u0s, plant, n_steps,
     cost_totals (n_steps, B))`` — the closed-loop trace, scan-stacked.
     """
     lims, lims_batch = split_lims(lims)
+    # the lane tier is f32-only and returns f32 — cast the scan-carry init
+    # so f64 inputs don't mismatch the body's f32 carry on trace
+    x0s = jnp.asarray(x0s, jnp.float32)
+    u0s = jnp.asarray(u0s, jnp.float32)
     return _mpc_rollout_lanes_jit(
         model, packed_derivs, x0s, u0s, plant, int(n_steps), lims=lims,
         lims_batch=lims_batch, cfg=cfg, derivs_tiles=derivs_tiles,

@@ -634,6 +634,14 @@ def gps_rollout_lanes(model, derivs_tiles, x0s, traj0, cost0, fx_fn,
     lims, lims_batch = split_lims(lims)
     if unroll is None:
         unroll = int(outer_iters) if int(outer_iters) <= 8 else 1
+    # the lane tier is f32-only and ilqgkl_batch_lanes RETURNS f32 even
+    # for f64 inputs — cast the scan-carry init up front, or the first
+    # body iteration's f32 carry mismatches an f64 init and lax.scan
+    # raises on trace (the host loop this replaces casts implicitly)
+    f32 = jnp.float32
+    x0s = jnp.asarray(x0s, f32)
+    cost0 = jnp.asarray(cost0, f32)
+    traj0 = jax.tree_util.tree_map(lambda a: jnp.asarray(a, f32), traj0)
     return _gps_rollout_lanes_jit(model, derivs_tiles, x0s, traj0, cost0,
                                   fx_fn, int(outer_iters), lims=lims,
                                   lims_batch=lims_batch, cfg=cfg, r1=r1,

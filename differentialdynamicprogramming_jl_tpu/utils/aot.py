@@ -67,28 +67,34 @@ def register_serialization() -> None:
     from ..solvers.ilqg import ILQGResult
     from ..solvers.ilqgkl import ILQGKLResult
 
+    # jax's registry keeps nodetype -> (serialized_name, ...) — inspect it
+    # directly so "this exact class already carries this exact name" (the
+    # only benign duplicate: a previous call, incl. from a second live copy
+    # of this package) is distinguished from GENUINE conflicts (our class
+    # pre-registered under a foreign name, or our name taken by a foreign
+    # class), which message sniffing cannot reliably separate. Private API
+    # — fall back to registering and re-raising on any error if it moves.
+    try:
+        from jax._src.export._export import (
+            serialization_registry as _ser_reg)
+    except Exception:  # noqa: BLE001 — registry location is private API
+        _ser_reg = None
+
     for cls in (GaussianPolicy, Derivs, Trace, ILQGResult, ILQGKLResult,
                 BatchTrace, BatchILQGResult, BatchKLTrace, BatchKLResult,
                 BoxQPResult, QPTrace):
         name = f"ddp_tpu.{cls.__module__}.{cls.__qualname__}"
-        try:
-            _jax_export.register_namedtuple_serialization(
-                cls, serialized_name=name)
-        except ValueError as e:
-            # Benign only for a duplicate registration of this class (a
-            # previous call in this process). Match jax's stable message
-            # prefix rather than its full wording (the detailed form has
-            # changed across jax versions; a reword must not turn the
-            # benign path into a crash), but still re-raise any OTHER
-            # ValueError — e.g. an invalid name — instead of masking it.
-            # Residual ambiguity: two live copies of this module (repo
-            # checkout + installed wheel) register distinct class objects
-            # whose str() prints identically; that collision is not
-            # distinguishable from the benign case by message inspection
-            # and will be accepted here — artifacts then use whichever
-            # copy registered first, which is still a consistent name.
-            if "uplicate" not in str(e):
-                raise
+        if _ser_reg is not None and cls in _ser_reg:
+            prior = _ser_reg[cls][0]
+            if prior == name:
+                continue               # benign: already ours
+            raise ValueError(
+                f"{cls} is already registered for jax.export serialization "
+                f"under `{prior}`; this package derives `{name}`. Exported "
+                f"artifacts would deserialize under the foreign name — "
+                f"remove the conflicting registration.")
+        _jax_export.register_namedtuple_serialization(
+            cls, serialized_name=name)
     _REGISTERED = True
 
 
